@@ -1,0 +1,77 @@
+"""Volume rendering (alpha compositing) in pure JAX.
+
+Matches reference ``NeRF.raw2outputs`` (core/networks/nerf.py:150-205):
+alpha = 1 - exp(-act(raw_sigma / B + noise) * delta * ||d||), transmittance
+via exclusive cumulative product, sigmoid RGB stretched by +-rgb_eps,
+disparity/accumulation/depth maps with the same clamping semantics.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def softplus_shifted(shift: float = 1.0) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Density activation ``softplus(x - shift)``
+    (reference core/raycasters.py:230-238)."""
+    def act(x):
+        return jax.nn.softplus(x - shift)
+    return act
+
+
+def get_density_fn(density_type: str, softplus_shift: float = 1.0):
+    if density_type == 'relu':
+        return jax.nn.relu
+    if density_type == 'softplus':
+        return softplus_shifted(softplus_shift)
+    raise NotImplementedError(f'density activation {density_type} undefined')
+
+
+def raw2outputs(raw: jnp.ndarray,
+                z_vals: jnp.ndarray,
+                rays_d: jnp.ndarray,
+                noise: Optional[jnp.ndarray] = None,
+                density_scale: float = 1.0,
+                act_fn: Callable = jax.nn.relu,
+                rgb_eps: float = 0.001) -> Dict[str, jnp.ndarray]:
+    """Composite raw MLP outputs along rays.
+
+    Args:
+      raw: (N_rays, N_samples, 4) — rgb logits + raw density.
+      z_vals: (N_rays, N_samples) sample depths.
+      rays_d: (N_rays, 3) (not necessarily unit) ray directions.
+      noise: optional (N_rays, N_samples) density regularization noise
+        (the caller draws it; reference nerf.py:174-182).
+      density_scale: the reference's ``B`` divisor (nerf.py:164).
+    Returns:
+      dict with rgb_map, disp_map, acc_map, depth_map, weights, alpha.
+    """
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate(
+        [dists, jnp.full_like(dists[..., :1], 1e10)], -1)
+    dists = dists * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    rgb = jax.nn.sigmoid(raw[..., :3]) * (1 + 2 * rgb_eps) - rgb_eps
+
+    sigma = raw[..., 3] / density_scale
+    if noise is not None:
+        sigma = sigma + noise
+    alpha = 1. - jnp.exp(-act_fn(sigma) * dists)
+
+    # Exclusive cumprod of (1 - alpha): T_i = prod_{j<i} (1 - alpha_j).
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(alpha[..., :1]),
+                         1. - alpha + 1e-10], -1), -1)[..., :-1]
+    weights = alpha * trans
+
+    rgb_map = jnp.sum(weights[..., None] * rgb, -2)
+    depth_map = jnp.sum(weights * z_vals, -1)
+    acc_raw = jnp.sum(weights, -1)
+    disp_map = 1. / jnp.maximum(1e-10, depth_map / (acc_raw + 1e-10))
+    disp_map = jnp.where(jnp.isclose(acc_raw, 0.), 0., disp_map)
+    acc_map = jnp.minimum(acc_raw, 1.)
+
+    return {'rgb_map': rgb_map, 'disp_map': disp_map, 'acc_map': acc_map,
+            'depth_map': depth_map, 'weights': weights, 'alpha': alpha}

@@ -1,0 +1,167 @@
+"""Positional encoding: plain NeRF PE and A-NeRF's cutoff-windowed PE.
+
+Functional TPU redesign of reference core/cutoff_embedder.py.  The
+reference keeps tau / schedule-alpha as module buffers mutated by the
+trainer; here they are explicit scalars threaded through the (pure)
+embed function so the whole train step stays jittable.
+
+Layout parity notes (verified by golden tests):
+  * frequencies stack as (..., 2F, C) with per-band order
+    [sin f0, cos f0, sin f1, cos f1, ...] (cutoff_embedder.py:149-150);
+  * the raw input row is prepended, then the cutoff window ``w`` is
+    applied either to everything (``cutoff_inputs``) or to the frequency
+    rows only (cutoff_embedder.py:152-159);
+  * the final feature is the row-major flatten of (..., 1+2F, C), i.e.
+    grouped band-major, channel-minor (cutoff_embedder.py:172).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class EmbedConfig:
+    """Static embedder configuration (trace-time constants)."""
+    input_dims: int                    # C: feature channels being encoded
+    num_freqs: int                     # F (== multires)
+    include_input: bool = True
+    log_sampling: bool = True
+    cutoff: bool = False               # enable cutoff windowing
+    dist_inputs: bool = False          # C == n_joints * D; dists are (J,)
+    cutoff_inputs: bool = False        # window the raw-input row too
+    cut_to_cutoff: bool = False        # x <- cutoff - x    (cut_to_dist)
+    shift_inputs: bool = False         # x <- 2x/cutoff - 1 (cutoff_shift)
+    freq_schedule: bool = False        # BARF-style coarse-to-fine
+    init_alpha: float = 0.
+    cutoff_dim: int = 24               # J: number of joints (window count)
+    init_tau: float = 20.0
+
+    @property
+    def out_dim(self) -> int:
+        d = 2 * self.num_freqs * self.input_dims
+        if self.include_input:
+            d += self.input_dims
+        return d
+
+    def freq_bands(self) -> np.ndarray:
+        if self.num_freqs == 0:
+            return np.zeros((0,), dtype=np.float32)
+        if self.log_sampling:
+            return (2.0 ** np.linspace(0., self.num_freqs - 1,
+                                       self.num_freqs)).astype(np.float32)
+        return np.linspace(2. ** 0., 2. ** (self.num_freqs - 1),
+                           self.num_freqs).astype(np.float32)
+
+    def freq_k(self) -> np.ndarray:
+        """log2 of freq bands duplicated per sin/cos row: (2F,)."""
+        k = np.log2(self.freq_bands())
+        return np.repeat(k, 2)
+
+
+def tau_schedule(cfg: EmbedConfig, global_step, cutoff_step: float,
+                 cutoff_rate: float) -> jnp.ndarray:
+    """tau annealing: ``init_tau * rate^(step / (step_k*1000))`` clamped at
+    2000 (reference cutoff_embedder.py:181-183)."""
+    step = jnp.asarray(global_step, jnp.float32)
+    tau = cfg.init_tau * cutoff_rate ** (step / float(cutoff_step * 1000))
+    return jnp.minimum(tau, 2000.)
+
+
+def alpha_schedule(cfg: EmbedConfig, global_step, alpha_step: float,
+                   target: Optional[float] = None) -> jnp.ndarray:
+    """BARF frequency-schedule alpha (reference cutoff_embedder.py:185-190)."""
+    if target is None:
+        target = float(np.max(cfg.freq_k())) if cfg.num_freqs > 0 else 0.
+    step = jnp.asarray(global_step, jnp.float32)
+    return cfg.init_alpha + (target - cfg.init_alpha) * step / float(
+        alpha_step * 1000)
+
+
+def _schedule_w(cfg: EmbedConfig, alpha) -> jnp.ndarray:
+    """Per-band coarse-to-fine weight, shape (2F, 1)
+    (reference cutoff_embedder.py:192-197)."""
+    k = jnp.asarray(cfg.freq_k())
+    diff = jnp.clip(alpha - k, 0., 1.)
+    return (0.5 * (1. - jnp.cos(jnp.pi * diff)))[:, None]
+
+
+def embed(inputs: jnp.ndarray,
+          cfg: EmbedConfig,
+          dists: Optional[jnp.ndarray] = None,
+          cutoff_dist: Optional[jnp.ndarray] = None,
+          tau: Optional[jnp.ndarray] = None,
+          alpha: Optional[jnp.ndarray] = None,
+          ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Encode ``inputs`` (..., C) -> (..., out_dim).
+
+    For cutoff embedders, ``dists`` (..., J) are per-joint distances and
+    ``cutoff_dist`` (J,) the window radii; ``tau`` the window sharpness.
+    Returns (embedded, cutoff_weights) like the reference ``_embed``
+    (cutoff_embedder.py:111-174); weights are None without cutoff.
+    """
+    if not cfg.cutoff:
+        return _plain_embed(inputs, cfg), None
+
+    assert dists is not None and cutoff_dist is not None and tau is not None
+    C = cfg.input_dims
+    J = cfg.cutoff_dim
+    freq = jnp.asarray(cfg.freq_bands())           # (F,)
+
+    if cfg.dist_inputs:
+        # inputs are per-joint vectors flattened to J*D; repeat each
+        # joint's distance/cutoff D times (cutoff_embedder.py:116-124).
+        D = C // J
+        dists_e = jnp.repeat(dists, D, axis=-1)            # (..., J*D)
+        cutoff_e = jnp.repeat(cutoff_dist, D, axis=-1)     # (J*D,)
+        x = inputs
+    else:
+        # inputs ARE the distances (e.g. RelDist): C == J.
+        dists_e = inputs
+        cutoff_e = cutoff_dist
+        x = inputs
+        if cfg.cut_to_cutoff:
+            x = cutoff_dist - x
+        if cfg.shift_inputs:
+            x = x * (2. / cutoff_dist) - 1.
+
+    # (..., F, C)
+    x_freq = freq[:, None] * x[..., None, :]
+
+    v = tau * (dists_e - cutoff_e)
+    w = 1. - jax.nn.sigmoid(v)[..., None, :]               # (..., 1, C)
+
+    # (..., F, 2, C) -> (..., 2F, C), band-major sin/cos pairs.
+    enc = jnp.stack([jnp.sin(x_freq), jnp.cos(x_freq)], axis=-2)
+    enc = enc.reshape(enc.shape[:-3] + (2 * cfg.num_freqs, C))
+    if cfg.freq_schedule:
+        assert alpha is not None
+        enc = enc * _schedule_w(cfg, alpha)
+
+    if cfg.include_input and cfg.cutoff_inputs:
+        enc = jnp.concatenate([x[..., None, :], enc], axis=-2) * w
+    elif cfg.include_input:
+        enc = jnp.concatenate([x[..., None, :], enc * w], axis=-2)
+    else:
+        enc = enc * w
+
+    return enc.reshape(enc.shape[:-2] + (enc.shape[-2] * C,)), w
+
+
+def _plain_embed(inputs: jnp.ndarray, cfg: EmbedConfig) -> jnp.ndarray:
+    """Classic NeRF PE (reference cutoff_embedder.py:9-58): output order is
+    [x, sin(f0 x), cos(f0 x), sin(f1 x), ...] concatenated along channels
+    (channel-major within each function block)."""
+    outs = []
+    if cfg.include_input:
+        outs.append(inputs)
+    for f in cfg.freq_bands():
+        outs.append(jnp.sin(inputs * f))
+        outs.append(jnp.cos(inputs * f))
+    if not outs:
+        return inputs[..., :0]
+    return jnp.concatenate(outs, axis=-1)

@@ -1,0 +1,268 @@
+"""Ray generation and sampling primitives in pure JAX.
+
+TPU-first redesign of reference core/utils/ray_utils.py.  Randomness is
+fed explicitly: every stochastic function takes either a ``jax.random``
+key or a precomputed uniform array (``u``), the latter replicating the
+reference's deterministic ``pytest=True`` mode
+(ray_utils.py:171-180,240-244) for golden parity testing.
+
+All shapes are static; XLA sees no data-dependent control flow.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_rays(H: int, W: int, focal, c2w: jnp.ndarray,
+             center=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel ray origins/directions for a full image.
+
+    Matches reference ``get_rays`` (ray_utils.py:6-28): pixel grid,
+    negated-y camera convention (looking down -z), rotated into world by
+    ``c2w[:3, :3]``.
+
+    Returns (rays_o, rays_d), each (H, W, 3).
+    """
+    focal = jnp.asarray(focal)
+    if focal.ndim == 0:
+        fx = fy = focal
+    else:
+        f = focal.reshape(-1)
+        fx, fy = (f[0], f[0]) if f.size < 2 else (f[0], f[1])
+    if center is None:
+        ox, oy = W * 0.5, H * 0.5
+    else:
+        ox, oy = center[0], center[1]
+    i, j = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                        jnp.arange(H, dtype=jnp.float32), indexing='xy')
+    dirs = jnp.stack([(i - ox) / fx, -(j - oy) / fy, -jnp.ones_like(i)], -1)
+    rays_d = jnp.einsum('hwc,rc->hwr', dirs, c2w[:3, :3])
+    rays_o = jnp.broadcast_to(c2w[:3, -1], rays_d.shape)
+    return rays_o, rays_d
+
+
+def get_rays_np(H, W, focal, c2w, center=None):
+    """Numpy twin of :func:`get_rays` for host-side data prep
+    (reference ray_utils.py:31-61, including the identity/axis-aligned
+    rotation fast paths)."""
+    if isinstance(focal, float) or (np.asarray(focal).reshape(-1).size < 2):
+        fx = fy = focal
+    else:
+        fx, fy = np.asarray(focal).reshape(-1)[:2]
+    if center is None:
+        ox, oy = W * 0.5, H * 0.5
+    else:
+        ox, oy = center
+    i, j = np.meshgrid(np.arange(W, dtype=np.float32),
+                       np.arange(H, dtype=np.float32), indexing='xy')
+    dirs = np.stack([(i - ox) / fx, -(j - oy) / fy, -np.ones_like(i)], -1)
+    eye = np.eye(3)
+    rot = c2w[:3, :3]
+    if np.isclose(eye, rot).all():
+        rays_d = dirs
+    elif np.isclose(eye, np.abs(rot)).all():
+        rays_d = dirs * rot.sum(-1)
+    else:
+        rays_d = np.sum(dirs[..., None, :] * rot, -1)
+    rays_o = np.broadcast_to(c2w[:3, -1], rays_d.shape)
+    return rays_o, rays_d
+
+
+def sample_from_lineseg(near: jnp.ndarray, far: jnp.ndarray,
+                        N_samples: int,
+                        perturb: float = 0.,
+                        lindisp: bool = False,
+                        rng: Optional[jax.Array] = None,
+                        u: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Stratified sampling of depths along rays.
+
+    Matches reference ``sample_from_lineseg`` (ray_utils.py:204-251):
+    linear (or inverse-depth) placement of N_samples in [near, far] with
+    optional per-interval jitter.
+
+    Args:
+      near, far: (N_rays, 1) per-ray bounds.
+      rng: PRNG key for jitter (training); ``u`` overrides with explicit
+        uniforms of shape (N_rays, N_samples) for determinism/parity.
+    Returns:
+      z_vals: (N_rays, N_samples).
+    """
+    t = jnp.linspace(0., 1., N_samples, dtype=near.dtype)
+    if not lindisp:
+        z_vals = near * (1. - t) + far * t
+    else:
+        z_vals = 1. / (1. / near * (1. - t) + 1. / far * t)
+    if perturb > 0.:
+        mids = .5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        upper = jnp.concatenate([mids, z_vals[..., -1:]], -1)
+        lower = jnp.concatenate([z_vals[..., :1], mids], -1)
+        if u is None:
+            u = jax.random.uniform(rng, z_vals.shape, dtype=z_vals.dtype)
+        z_vals = lower + (upper - lower) * u
+    return z_vals
+
+
+def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, N_samples: int,
+               det: bool = False,
+               rng: Optional[jax.Array] = None,
+               u: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Inverse-CDF (hierarchical) sampling.
+
+    Matches reference ``sample_pdf`` (ray_utils.py:157-201): weights are
+    eps-shifted, normalized to a CDF with a leading zero, and uniforms are
+    inverted through the piecewise-linear CDF.  The CDF is treated as a
+    constant for gradients (reference detaches via searchsorted +
+    downstream ``z_samples.detach()``); we ``stop_gradient`` the whole
+    output to match (ray_utils.py:285).
+
+    Args:
+      bins: (N_rays, M) bin edges (z midpoints).
+      weights: (N_rays, M-1) unnormalized weights.
+    Returns:
+      samples: (N_rays, N_samples), gradient-stopped.
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, -1, keepdims=True)
+    cdf = jnp.cumsum(pdf, -1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)
+
+    if u is None:
+        if det:
+            u = jnp.linspace(0., 1., N_samples, dtype=cdf.dtype)
+            u = jnp.broadcast_to(u, cdf.shape[:-1] + (N_samples,))
+        else:
+            u = jax.random.uniform(rng, cdf.shape[:-1] + (N_samples,),
+                                   dtype=cdf.dtype)
+
+    # batched searchsorted(cdf[r], u[r], side='right') via vmap over rays
+    flat_cdf = cdf.reshape(-1, cdf.shape[-1])
+    flat_u = u.reshape(-1, u.shape[-1])
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side='right'))(
+        flat_cdf, flat_u).reshape(u.shape)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1),
+                                     axis=-1)
+    bins_above = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1),
+                                     axis=-1)
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    tt = (u - cdf_below) / denom
+    samples = bins_below + tt * (bins_above - bins_below)
+    return jax.lax.stop_gradient(samples)
+
+
+def isample_from_lineseg(z_vals: jnp.ndarray, weights: jnp.ndarray,
+                         N_importance: int,
+                         det: bool = False,
+                         is_only: bool = False,
+                         alpha_base: float = 0.01,
+                         rng: Optional[jax.Array] = None,
+                         u: Optional[jnp.ndarray] = None,
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Importance sampling + merge with coarse samples.
+
+    Matches reference ``isample_from_lineseg`` (ray_utils.py:255-289),
+    including the single-network smoothed-max weighting
+    ``0.5*(max(w_l,w_k)+max(w_k,w_u)) + alpha_base`` when ``is_only``.
+
+    Returns:
+      z_merged: (N_rays, N_samples + N_importance) sorted union.
+      z_samples: (N_rays, N_importance) the new samples (grad-stopped).
+      sorted_idxs: argsort indices into the concatenated [z_vals, z_samples].
+    """
+    z_mid = .5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    if is_only:
+        w_l = weights[..., 0:-2]
+        w_k = weights[..., 1:-1]
+        w_u = weights[..., 2:]
+        dist_w = 0.5 * (jnp.maximum(w_l, w_k) + jnp.maximum(w_k, w_u)) + alpha_base
+    else:
+        dist_w = weights[..., 1:-1]
+    z_samples = sample_pdf(z_mid, dist_w, N_importance, det=det, rng=rng, u=u)
+    z_cat = jnp.concatenate([z_vals, z_samples], -1)
+    sorted_idxs = jnp.argsort(z_cat, axis=-1)
+    z_merged = jnp.take_along_axis(z_cat, sorted_idxs, axis=-1)
+    return z_merged, z_samples, sorted_idxs
+
+
+def get_near_far_in_cylinder(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                             cyl: jnp.ndarray,
+                             near=0.35, far=2.75,
+                             g_axes=(0, 2)) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-ray near/far from intersecting the bounding cylinder.
+
+    Matches reference ``get_near_far_in_cylinder`` (ray_utils.py:292-344):
+    project the ray onto the ground plane, 2D ray/circle intersection via
+    perpendicular distance + Pythagoras.  Instead of producing NaNs for
+    grazing rays and patching with the batch mean on host
+    (ray_utils.py:328-343), we clamp R^2-D^2 at 0 and fall back to the
+    input near/far for non-intersecting rays — static-shape and
+    NaN-free under jit.
+
+    Args:
+      rays_o, rays_d: (N_rays, 3).
+      cyl: (N_rays, 5) cylinder params (cx, cz, radius, top, bot).
+      near, far: scalars or (N_rays, 1).
+    Returns:
+      (new_near, new_far): (N_rays, 1) each.
+    """
+    g = list(g_axes)
+    near = jnp.broadcast_to(jnp.asarray(near, rays_o.dtype),
+                            rays_o[..., :1].shape)
+    far = jnp.broadcast_to(jnp.asarray(far, rays_o.dtype),
+                           rays_o[..., :1].shape)
+    r_near = (rays_o + rays_d * near)[..., g]
+    r_far = (rays_o + rays_d * far)[..., g]
+
+    radius = cyl[..., 2:3]
+    center = cyl[..., :2]
+
+    nc = center - r_near
+    nf = r_far - r_near
+    nf_norm = jnp.linalg.norm(nf, axis=-1).clip(1e-12)
+    scale = jnp.linalg.norm(rays_d[..., g], axis=-1, keepdims=True).clip(1e-12)
+
+    cross = nc[..., 0] * nf[..., 1] - nc[..., 1] * nf[..., 0]
+    dist = (jnp.abs(cross) / nf_norm)[..., None]
+
+    q_sq = radius ** 2 - dist ** 2
+    hit = q_sq[..., 0] > 0.
+    Q = jnp.sqrt(jnp.maximum(q_sq, 1e-12))
+    K = (jnp.sum(nc * nf, -1) / nf_norm)[..., None]
+    outside = (Q < K).astype(rays_o.dtype)  # near point outside the circle
+
+    new_near = near + outside * (K - Q) / scale
+    new_far = near + (K + Q) / scale
+
+    new_near = jnp.where(hit[..., None], new_near, near)
+    new_far = jnp.where(hit[..., None], new_far, far)
+    return new_near, new_far
+
+
+def get_near_far_in_cylinder_np(rays_o, rays_d, cyl, near=0.35, far=2.75):
+    """Numpy twin (reference ray_utils.py:346-379) for host-side prep."""
+    r_near = (rays_o + rays_d * near)[..., [0, -1]]
+    r_far = (rays_o + rays_d * far)[..., [0, -1]]
+    radius = cyl[..., 2:3]
+    center = cyl[..., :2]
+    nc = center - r_near
+    nf = r_far - r_near
+    nf_norm = np.linalg.norm(nf, axis=-1)
+    scale = np.linalg.norm(rays_d[..., [0, -1]], axis=-1)[..., None]
+    cross = nc[..., 0] * nf[..., 1] - nc[..., 1] * nf[..., 0]
+    dist = (np.abs(cross) / nf_norm)[..., None]
+    q_sq = radius ** 2 - dist ** 2
+    hit = q_sq > 0.
+    Q = np.sqrt(np.maximum(q_sq, 0.))
+    K = ((nc * nf).sum(-1) / nf_norm)[..., None]
+    mask = (Q < K).astype(np.float32)
+    new_near = np.where(hit, near + mask * (K - Q) / scale, near)
+    new_far = np.where(hit, near + (K + Q) / scale, far)
+    return new_near, new_far
