@@ -63,25 +63,22 @@ def rot_to_quat(rot: jnp.ndarray) -> jnp.ndarray:
     m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
     trace = m00 + m11 + m22
 
-    def safe_sqrt(x):
-        return jnp.sqrt(jnp.maximum(x, 1e-12))
-
-    # Four candidate formulations; pick the most stable per element.
-    q_w = jnp.stack([safe_sqrt(1.0 + trace),
+    # Four candidate formulations (each proportional to the quaternion,
+    # scaled by 2*sqrt(1 + diag term)); pick the most stable per element.
+    q_w = jnp.stack([1.0 + trace,
                      m21 - m12, m02 - m20, m10 - m01], axis=-1)
-    q_x = jnp.stack([m21 - m12, safe_sqrt(1.0 + m00 - m11 - m22),
+    q_x = jnp.stack([m21 - m12, 1.0 + m00 - m11 - m22,
                      m01 + m10, m02 + m20], axis=-1)
     q_y = jnp.stack([m02 - m20, m01 + m10,
-                     safe_sqrt(1.0 - m00 + m11 - m22), m12 + m21], axis=-1)
+                     1.0 - m00 + m11 - m22, m12 + m21], axis=-1)
     q_z = jnp.stack([m10 - m01, m02 + m20, m12 + m21,
-                     safe_sqrt(1.0 - m00 - m11 + m22)], axis=-1)
+                     1.0 - m00 - m11 + m22], axis=-1)
 
     cases = jnp.stack([q_w, q_x, q_y, q_z], axis=-2)  # (..., 4, 4)
     diag = jnp.stack([trace, m00, m11, m22], axis=-1)
     best = jnp.argmax(diag, axis=-1)
     q = jnp.take_along_axis(cases, best[..., None, None].repeat(4, -1),
                             axis=-2)[..., 0, :]
-    # scale: the sqrt'd component equals 2*sqrt(...)/2; normalize instead.
     q = q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-12)
     # canonical sign: w >= 0
     return q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
