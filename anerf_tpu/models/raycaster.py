@@ -1,0 +1,289 @@
+"""The volumetric renderer: sample -> transform -> encode -> MLP -> composite.
+
+TPU-first redesign of reference core/raycasters.py (RayCaster.render_rays
+:361-474, encode_inputs :476-555, run_network :557-577, sample_pts
+:650-677, _merge_encodings :679-709, render_pts_density :597-648).
+
+Key departures from the reference, all preserving the math:
+  * fully functional: params + explicit RNG, one jittable call — no
+    module state, no DataParallel, no chunking (static shapes; callers
+    batch via vmap/lax.map/sharding instead of python loops);
+  * the framecode index is an int array, not a float feature channel;
+  * coarse/fine merge is a static-shape ``take_along_axis`` gather with
+    the same autograd semantics as the reference's gather-based
+    ``merge_samples`` (raycasters.py:796-812);
+  * randomness (stratified jitter, importance uniforms, density noise,
+    ray noise) comes from a threaded PRNG key, or can be pinned through
+    ``fixed`` for golden parity against the reference's pytest mode.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import compositing, encoders, rays as ray_ops
+from ..ops.embedding import EmbedConfig, embed
+from .nerf_mlp import NeRFConfig, density_only, nerf_forward
+
+
+@dataclasses.dataclass(frozen=True)
+class RayCastConfig:
+    """Static rendering configuration (trace-time constants)."""
+    nerf: NeRFConfig
+    kp_embed: EmbedConfig
+    bone_embed: EmbedConfig
+    view_embed: EmbedConfig
+    n_joints: int = 24
+    N_samples: int = 64
+    N_importance: int = 16
+    perturb: float = 1.0
+    raw_noise_std: float = 0.0
+    ray_noise_std: float = 0.0
+    lindisp: bool = False
+    single_net: bool = False
+    use_viewdirs: bool = True
+    density_scale: float = 1.0
+    density_type: str = 'relu'
+    softplus_shift: float = 1.0
+    kp_dist_type: str = 'reldist'
+    view_type: str = 'relray'
+    bone_type: str = 'reldir'
+
+    def density_fn(self):
+        return compositing.get_density_fn(self.density_type,
+                                          self.softplus_shift)
+
+    def eval_variant(self) -> 'RayCastConfig':
+        """Test-time settings (reference raycasters.py:170-178):
+        no perturbation, no noise."""
+        return dataclasses.replace(self, perturb=0., raw_noise_std=0.,
+                                   ray_noise_std=0.)
+
+
+def encode_inputs(rc: RayCastConfig,
+                  params: Dict[str, Any],
+                  pts: jnp.ndarray,
+                  rays_o: jnp.ndarray,
+                  rays_d: jnp.ndarray,
+                  pose: Dict[str, jnp.ndarray],
+                  state: Dict[str, jnp.ndarray],
+                  ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray],
+                             Optional[jnp.ndarray]]:
+    """Skeleton-relative encodings (v, r, d) for query points.
+
+    Matches reference ``RayCaster.encode_inputs`` (raycasters.py:476-555).
+
+    Args:
+      pts: (N_rays, S, 3) world-space query points.
+      rays_o/rays_d: (N_rays, 3).
+      pose: dict with kps (N_rays, J, 3), skts (N_rays, J, 4, 4),
+        bones (N_rays, J, 3|6).
+      state: dict with per-embedder tau/alpha scalars.
+    """
+    kps, skts, bones = pose['kps'], pose['skts'], pose.get('bones')
+    kp_fn, _, _ = encoders.get_kp_input_fn(rc.kp_dist_type, rc.n_joints)
+    bone_fn, bone_dims = encoders.get_bone_input_fn(rc.bone_type, rc.n_joints)
+    view_fn, _ = encoders.get_view_input_fn(rc.view_type, rc.n_joints)
+
+    pts_t = encoders.transform_batch_pts(pts, skts)
+    rays_t = encoders.transform_batch_rays(rays_d[:, None], skts)
+
+    v = kp_fn(pts, pts_t, kps)
+    r = bone_fn(pts_t, bones) if bone_dims > 0 else None
+    d = view_fn(rays_t, pts_t) if rc.use_viewdirs else None
+
+    if 'dist' in rc.kp_dist_type.lower():
+        j_dists = v
+    else:
+        j_dists = jnp.linalg.norm(pts[:, :, None] - kps[:, None], axis=-1)
+
+    cutoff_dist = params['cutoff_dist']
+    v, _ = embed(v, rc.kp_embed, dists=j_dists, cutoff_dist=cutoff_dist,
+                 tau=state.get('tau'), alpha=state.get('alpha'))
+    if r is not None:
+        r, _ = embed(r, rc.bone_embed, dists=j_dists, cutoff_dist=cutoff_dist,
+                     tau=state.get('tau'), alpha=state.get('alpha'))
+    if d is not None:
+        d, _ = embed(d, rc.view_embed, dists=j_dists, cutoff_dist=cutoff_dist,
+                     tau=state.get('tau'), alpha=state.get('alpha'))
+    return v, r, d
+
+
+def _run_network(rc: RayCastConfig, net_params, v, r, d, cam_idxs):
+    """Concatenate encodings and run the MLP (reference
+    raycasters.py:557-577 + nerf.py:133-148), keeping (R, S) structure."""
+    parts = [v]
+    if r is not None:
+        parts.append(r)
+    x_pts = jnp.concatenate(parts, axis=-1)
+    x_views = d
+    fc_idx = None
+    if rc.nerf.use_framecode and cam_idxs is not None:
+        fc_idx = jnp.broadcast_to(cam_idxs[:, None], x_pts.shape[:2])
+    return nerf_forward(net_params, rc.nerf, x_pts, x_views, fc_idx)
+
+
+def _merge_encoded(x_coarse, x_fine, sorted_idxs):
+    """Sorted union along the sample axis preserving autograd
+    (reference _merge_encodings/merge_samples, raycasters.py:679-709,
+    796-812)."""
+    if x_coarse is None:
+        return None
+    cat = jnp.concatenate([x_coarse, x_fine], axis=1)
+    idx = sorted_idxs
+    while idx.ndim < cat.ndim:
+        idx = idx[..., None]
+    return jnp.take_along_axis(cat, idx, axis=1)
+
+
+def render_rays(rc: RayCastConfig,
+                params: Dict[str, Any],
+                rays_o: jnp.ndarray,
+                rays_d: jnp.ndarray,
+                near,
+                far,
+                pose: Dict[str, jnp.ndarray],
+                state: Optional[Dict[str, jnp.ndarray]] = None,
+                cam_idxs: Optional[jnp.ndarray] = None,
+                rng: Optional[jax.Array] = None,
+                fixed: Optional[Dict[str, jnp.ndarray]] = None,
+                ) -> Dict[str, jnp.ndarray]:
+    """Render a batch of rays through the articulated NeRF.
+
+    Matches reference ``RayCaster.render_rays`` (raycasters.py:361-474):
+    cylinder-clipped near/far, stratified coarse samples, encode, coarse
+    MLP + composite, importance sampling, sorted-union fine pass.
+
+    Args:
+      params: {'coarse': ..., 'fine': ..., 'cutoff_dist': (J,)}.
+      rays_o/rays_d: (N_rays, 3); directions need not be unit norm.
+      near/far: scalars or (N_rays, 1) initial bounds.
+      pose: per-ray pose data: kps (N_rays, J, 3), skts, bones, and
+        cyls (N_rays, 5) bounding-cylinder params.
+      state: {'tau': scalar, 'alpha': scalar} cutoff-embedder schedule.
+      rng: PRNG key (omit for fully deterministic rendering).
+      fixed: optional dict pinning randomness for parity tests; keys
+        'coarse_u', 'fine_u', 'coarse_noise', 'fine_noise'.
+    Returns:
+      dict with rgb_map/disp_map/acc_map/alpha (+ *0 coarse variants).
+    """
+    state = state or {'tau': jnp.asarray(1e6), 'alpha': None}
+    fixed = fixed or {}
+    N_rays = rays_o.shape[0]
+
+    if rng is not None:
+        k_strat, k_cnoise, k_fine, k_fnoise, k_ray1, k_ray2 = \
+            jax.random.split(rng, 6)
+    else:
+        k_strat = k_cnoise = k_fine = k_fnoise = k_ray1 = k_ray2 = None
+
+    near, far = ray_ops.get_near_far_in_cylinder(
+        rays_o, rays_d, pose['cyls'], near=near, far=far)
+
+    z_vals = ray_ops.sample_from_lineseg(
+        near, far, rc.N_samples, perturb=rc.perturb, lindisp=rc.lindisp,
+        rng=k_strat, u=fixed.get('coarse_u'))
+    pts = rays_o[:, None] + rays_d[:, None] * z_vals[..., None]
+    if rc.ray_noise_std > 0. and k_ray1 is not None:
+        pts = pts + jax.random.normal(k_ray1, pts.shape) * rc.ray_noise_std
+
+    v, r, d = encode_inputs(rc, params, pts, rays_o, rays_d, pose, state)
+    raw = _run_network(rc, params['coarse'], v, r, d, cam_idxs)
+
+    noise = fixed.get('coarse_noise')
+    if noise is None and rc.raw_noise_std > 0. and k_cnoise is not None:
+        noise = jax.random.normal(k_cnoise, raw.shape[:-1]) \
+            * rc.raw_noise_std * rc.density_scale
+    ret = compositing.raw2outputs(raw, z_vals, rays_d, noise=noise,
+                                  density_scale=rc.density_scale,
+                                  act_fn=rc.density_fn())
+
+    ret0 = None
+    if rc.N_importance > 0:
+        ret0 = ret
+        z_merged, z_samples, sorted_idxs = ray_ops.isample_from_lineseg(
+            z_vals, ret0['weights'], rc.N_importance,
+            det=(rc.perturb == 0.), is_only=rc.single_net,
+            rng=k_fine, u=fixed.get('fine_u'))
+        pts_is = rays_o[:, None] + rays_d[:, None] * z_samples[..., None]
+        if rc.ray_noise_std > 0. and k_ray2 is not None:
+            pts_is = pts_is + jax.random.normal(k_ray2, pts_is.shape) \
+                * rc.ray_noise_std
+
+        v_is, r_is, d_is = encode_inputs(rc, params, pts_is, rays_o, rays_d,
+                                         pose, state)
+        fine_params = params['coarse'] if rc.single_net else params['fine']
+        if not rc.single_net:
+            v_m = _merge_encoded(v, v_is, sorted_idxs)
+            r_m = _merge_encoded(r, r_is, sorted_idxs)
+            d_m = _merge_encoded(d, d_is, sorted_idxs)
+            raw = _run_network(rc, fine_params, v_m, r_m, d_m, cam_idxs)
+        else:
+            raw_is = _run_network(rc, fine_params, v_is, r_is, d_is, cam_idxs)
+            raw = _merge_encoded(raw, raw_is, sorted_idxs)
+
+        noise = fixed.get('fine_noise')
+        if noise is None and rc.raw_noise_std > 0. and k_fnoise is not None:
+            noise = jax.random.normal(k_fnoise, raw.shape[:-1]) \
+                * rc.raw_noise_std * rc.density_scale
+        ret = compositing.raw2outputs(raw, z_merged, rays_d, noise=noise,
+                                      density_scale=rc.density_scale,
+                                      act_fn=rc.density_fn())
+
+    out = {'rgb_map': ret['rgb_map'], 'disp_map': ret['disp_map'],
+           'acc_map': ret['acc_map'], 'alpha': ret['alpha'],
+           'weights': ret['weights']}
+    if ret0 is not None:
+        out.update({'rgb0': ret0['rgb_map'], 'disp0': ret0['disp_map'],
+                    'acc0': ret0['acc_map'], 'alpha0': ret0['alpha']})
+    return out
+
+
+def render_pts_density(rc: RayCastConfig,
+                       params: Dict[str, Any],
+                       pts: jnp.ndarray,
+                       pose: Dict[str, jnp.ndarray],
+                       state: Optional[Dict[str, jnp.ndarray]] = None,
+                       ) -> jnp.ndarray:
+    """Raw density at arbitrary points (mesh extraction path).
+
+    Matches reference ``render_pts_density``/``_get_density_fwd_fn``
+    (raycasters.py:597-648): kp + bone encodings only, density trunk,
+    alpha head; uses the fine network when present.
+
+    Args:
+      pts: (P, S, 3) query points (S typically 1).
+      pose: single pose broadcast over P: kps (1, J, 3), skts (1, J, 4, 4),
+        bones (1, J, 3|6).
+    Returns:
+      (P, S, 1) raw density (pre-activation).
+    """
+    state = state or {'tau': jnp.asarray(1e6), 'alpha': None}
+    kps, skts, bones = pose['kps'], pose['skts'], pose.get('bones')
+    kp_fn, _, _ = encoders.get_kp_input_fn(rc.kp_dist_type, rc.n_joints)
+    bone_fn, bone_dims = encoders.get_bone_input_fn(rc.bone_type, rc.n_joints)
+
+    skts_b = jnp.broadcast_to(skts, (pts.shape[0],) + skts.shape[1:])
+    pts_t = encoders.transform_batch_pts(pts, skts_b)
+    v = kp_fn(pts, pts_t, kps)
+    r = bone_fn(pts_t, bones) if bone_dims > 0 else None
+
+    if 'dist' in rc.kp_dist_type.lower():
+        j_dists = v
+    else:
+        j_dists = jnp.linalg.norm(pts[:, :, None] - kps[:, None], axis=-1)
+
+    cutoff_dist = params['cutoff_dist']
+    v, _ = embed(v, rc.kp_embed, dists=j_dists, cutoff_dist=cutoff_dist,
+                 tau=state.get('tau'), alpha=state.get('alpha'))
+    parts = [v]
+    if r is not None:
+        r, _ = embed(r, rc.bone_embed, dists=j_dists, cutoff_dist=cutoff_dist,
+                     tau=state.get('tau'), alpha=state.get('alpha'))
+        parts.append(r)
+    x = jnp.concatenate(parts, axis=-1)
+    net = params['fine'] if params.get('fine') is not None else params['coarse']
+    return density_only(net, rc.nerf, x)
