@@ -241,8 +241,19 @@ def get_near_far_in_cylinder(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     new_near = near + outside * (K - Q) / scale
     new_far = near + (K + Q) / scale
 
-    new_near = jnp.where(hit[..., None], new_near, near)
-    new_far = jnp.where(hit[..., None], new_far, far)
+    # Grazing rays (no intersection): the reference fills in the batch
+    # mean of the valid rays on host (ray_utils.py:328-343); we do the
+    # same masked mean in-graph, falling back to the input bounds when
+    # no ray hits at all.
+    hit_f = hit.astype(rays_o.dtype)[..., None]
+    n_hit = jnp.maximum(hit_f.sum(), 1.)
+    mean_near = (new_near * hit_f).sum() / n_hit
+    mean_far = (new_far * hit_f).sum() / n_hit
+    any_hit = hit_f.sum() > 0.
+    new_near = jnp.where(hit[..., None], new_near,
+                         jnp.where(any_hit, mean_near, near))
+    new_far = jnp.where(hit[..., None], new_far,
+                        jnp.where(any_hit, mean_far, far))
     return new_near, new_far
 
 

@@ -159,5 +159,9 @@ def test_cylinder_near_far_matches_np_twin():
         near=0.35, far=20.)
     ref_n, ref_f = ray_ops.get_near_far_in_cylinder_np(
         rays_o, dirs, cyl, near=0.35, far=20.)
-    np.testing.assert_allclose(np.asarray(ours_n), ref_n, atol=1e-3)
-    np.testing.assert_allclose(np.asarray(ours_f), ref_f, atol=1e-3)
+    # compare on intersecting rays only: the jnp version fills misses
+    # with the batch mean (like the reference's NaN patch-up), the np
+    # twin with the input bounds.
+    hit = (ref_f < 20.)[:, 0]
+    np.testing.assert_allclose(np.asarray(ours_n)[hit], ref_n[hit], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ours_f)[hit], ref_f[hit], atol=1e-3)

@@ -1,0 +1,171 @@
+"""Tests for the jitted train step: convergence, pose gating, sharding."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from anerf_tpu.models.factory import build_raycast_config
+from anerf_tpu.ops.cylinder import get_kp_bounding_cylinder
+from anerf_tpu.ops.fk import fk
+from anerf_tpu.parallel.sharding import (make_mesh, replicate_state,
+                                         shard_train_step)
+from anerf_tpu.skeleton import SMPL_REST_POSE, SMPLSkeleton
+from anerf_tpu.training import pose_opt as P
+from anerf_tpu.training.trainer import (TrainSetup, init_train_state,
+                                        make_train_step)
+from anerf_tpu.utils.config import Config
+
+
+def tiny_config(**kw):
+    base = dict(use_cutoff=True, cutoff_viewdir=True, cutoff_inputs=True,
+                use_viewdirs=True, multires=4, multires_views=2,
+                netdepth=2, netwidth=32,
+                N_samples=8, N_importance=4, N_rand=16,
+                opt_framecode=True, framecode_size=4,
+                ext_scale=0.001, use_background=True,
+                lrate=5e-4, raw_noise_std=0.)
+    base.update(kw)
+    return Config(**base)
+
+
+def make_setup_and_batch(cfg, n_frames=3, n_rays=16, seed=0):
+    rng = np.random.RandomState(seed)
+    rest = SMPL_REST_POSE * 0.0022
+    bones = rng.normal(scale=0.1, size=(n_frames, 24, 3)).astype(np.float32)
+    pelvis = rng.normal(scale=0.05, size=(n_frames, 3)).astype(np.float32)
+    kps, skts, _, _ = fk(jnp.asarray(bones), jnp.asarray(pelvis),
+                         jnp.asarray(rest))
+    cyls = get_kp_bounding_cylinder(np.asarray(kps), ext_scale=0.001,
+                                    head='-y')
+    rc = build_raycast_config(cfg, n_framecodes=n_frames)
+    setup = TrainSetup(cfg=cfg, rc=rc, skel=SMPLSkeleton,
+                       rest_pose=jnp.asarray(rest),
+                       anchors=P.make_anchors(np.asarray(kps), bones),
+                       near=0.1, far=6.0)
+
+    kp_idx = rng.randint(0, n_frames, size=(n_rays,))
+    t = np.linspace(-0.05, 0.05, n_rays, dtype=np.float32)
+    batch = {
+        'rays_o': jnp.asarray(np.tile([[0., 0., 2.5]], (n_rays, 1))
+                              .astype(np.float32)),
+        'rays_d': jnp.asarray(np.stack([t, t, -np.ones_like(t)], -1)),
+        'target_s': jnp.asarray(rng.uniform(0, 1, (n_rays, 3))
+                                .astype(np.float32)),
+        'fgs': jnp.ones((n_rays, 1)),
+        'bgs': jnp.ones((n_rays, 3)) * 0.2,
+        'cyls': jnp.asarray(cyls)[kp_idx],
+        'kp_idx': jnp.asarray(kp_idx, jnp.int32),
+        'cam_idxs': jnp.asarray(kp_idx, jnp.int32),
+        'temp_val': jnp.ones((n_rays,)),
+        'kps': jnp.asarray(kps)[kp_idx],
+        'skts': jnp.asarray(skts)[kp_idx],
+        'bones': jnp.asarray(bones)[kp_idx],
+    }
+    return setup, batch, (np.asarray(kps), bones)
+
+
+def test_train_step_no_pose_opt_decreases_loss():
+    cfg = tiny_config(lrate=5e-3, perturb=0.)
+    setup, batch, _ = make_setup_and_batch(cfg)
+    # constant gray target matching the background: fittable by a tiny
+    # net in a few dozen steps (drive density to zero)
+    batch['target_s'] = jnp.full_like(batch['target_s'], 0.6)
+    batch['bgs'] = jnp.full_like(batch['bgs'], 0.6)
+    state = init_train_state(setup, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(setup))
+    losses = []
+    for i in range(60):
+        state, stats = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(stats['total_loss']))
+    assert losses[-1] < losses[0] * 0.5, losses[::20]
+    assert int(state['step']) == 60
+
+
+def test_train_step_with_pose_opt_updates_bank():
+    cfg = tiny_config(opt_pose=True, opt_pose_step=2, opt_pose_coef=0.1,
+                      opt_pose_lrate=1e-3, use_temp_loss=True,
+                      temp_coef=0.01)
+    setup, batch, (kps, bones) = make_setup_and_batch(cfg)
+    state = init_train_state(setup, jax.random.PRNGKey(0),
+                             init_kp3d=kps, init_bones=bones)
+    step = jax.jit(make_train_step(setup))
+    b0 = np.asarray(state['pose_params']['bones']).copy()
+
+    state, stats = step(state, batch, jax.random.PRNGKey(1))
+    # step counter was 0: 0 % 2 == 0 -> pose fires immediately
+    b1 = np.asarray(state['pose_params']['bones'])
+    assert np.abs(b1 - b0).max() > 0
+    assert 'kp_loss' in stats and 'mpjpc' in stats
+
+    # next step (counter 1): accumulate only, no pose change
+    state, stats = step(state, batch, jax.random.PRNGKey(2))
+    b2 = np.asarray(state['pose_params']['bones'])
+    np.testing.assert_array_equal(b1, b2)
+    accum_norm = float(
+        jnp.linalg.norm(state['pose_accum']['bones']))
+    assert accum_norm > 0
+
+    # counter 2 : fires again and resets the accumulator
+    state, stats = step(state, batch, jax.random.PRNGKey(3))
+    b3 = np.asarray(state['pose_params']['bones'])
+    assert np.abs(b3 - b2).max() > 0
+    np.testing.assert_allclose(
+        np.asarray(state['pose_accum']['bones']), 0.)
+
+
+def test_pose_stop_freezes_bank():
+    cfg = tiny_config(opt_pose=True, opt_pose_step=1, opt_pose_stop=0)
+    setup, batch, (kps, bones) = make_setup_and_batch(cfg)
+    state = init_train_state(setup, jax.random.PRNGKey(0),
+                             init_kp3d=kps, init_bones=bones)
+    step = jax.jit(make_train_step(setup))
+    b0 = np.asarray(state['pose_params']['bones']).copy()
+    for i in range(3):
+        state, stats = step(state, batch, jax.random.PRNGKey(i))
+    np.testing.assert_array_equal(np.asarray(state['pose_params']['bones']),
+                                  b0)
+    # kp loss is gated to 0
+    np.testing.assert_allclose(float(stats['kp_loss']), 0.)
+
+
+def test_sharded_train_step_matches_single_device():
+    """Ray sharding over the 8-device CPU mesh must not change the math."""
+    cfg = tiny_config(opt_pose=True, opt_pose_step=1, opt_pose_coef=0.1)
+    setup, batch, (kps, bones) = make_setup_and_batch(cfg)
+    state_a = init_train_state(setup, jax.random.PRNGKey(0),
+                               init_kp3d=kps, init_bones=bones)
+    state_b = jax.tree_util.tree_map(lambda x: x.copy() if x is not None
+                                     else None, state_a)
+    fn = make_train_step(setup)
+
+    single = jax.jit(fn)
+    state_a, stats_a = single(state_a, batch, jax.random.PRNGKey(5))
+
+    mesh = make_mesh(8)
+    state_b = replicate_state(mesh, state_b)
+    sharded = shard_train_step(fn, mesh)
+    state_b, stats_b = sharded(state_b, batch, jax.random.PRNGKey(5))
+
+    np.testing.assert_allclose(float(stats_a['total_loss']),
+                               float(stats_b['total_loss']), rtol=2e-5)
+    pa = np.asarray(state_a['params']['coarse']['rgb_linear']['w'])
+    pb = np.asarray(state_b['params']['coarse']['rgb_linear']['w'])
+    np.testing.assert_allclose(pa, pb, atol=2e-6)
+    ba = np.asarray(state_a['pose_params']['bones'])
+    bb = np.asarray(state_b['pose_params']['bones'])
+    np.testing.assert_allclose(ba, bb, atol=2e-6)
+
+
+def test_photometric_gradient_reaches_pose_bank():
+    """With zero kp/temp coefs, pose grads come only through rendering —
+    the core A-NeRF property."""
+    cfg = tiny_config(opt_pose=True, opt_pose_step=1, opt_pose_coef=0.0,
+                      perturb=0.)
+    setup, batch, (kps, bones) = make_setup_and_batch(cfg)
+    state = init_train_state(setup, jax.random.PRNGKey(0),
+                             init_kp3d=kps, init_bones=bones)
+    step = jax.jit(make_train_step(setup))
+    b0 = np.asarray(state['pose_params']['bones']).copy()
+    p0 = np.asarray(state['pose_params']['pelvis']).copy()
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    assert np.abs(np.asarray(state['pose_params']['bones']) - b0).max() > 0
+    assert np.abs(np.asarray(state['pose_params']['pelvis']) - p0).max() > 0
