@@ -1,0 +1,463 @@
+"""H5-backed ray dataset: per-image pixel sampling -> flattened ray batches.
+
+Torch-free TPU redesign of reference core/dataset.py.  Differences:
+  * no torch DataLoader — batches are assembled by a threaded prefetcher
+    (``pipeline.Prefetcher``) that feeds the TPU's addressable shard;
+  * randomness is an explicit ``numpy.random.Generator`` per worker so
+    runs are reproducible;
+  * batch arrays keep fixed shapes (N_rand rays) so the jitted train
+    step never retraces.
+
+The h5 schema matches the reference exactly (SURVEY §2.4): imgs/masks/
+sampling_masks flattened to (N, H*W, C), bkgds, bkgd_idxs, kp3d, gt_kp3d,
+bones, skts, cyls, rest_pose, betas, c2ws, focals, img_shape, centers?,
+ext_scale.
+"""
+from __future__ import annotations
+
+import math
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import h5py
+import numpy as np
+
+from ..ops.cylinder import cylinder_to_box_2d, nerf_c2w_to_extrinsic
+from ..skeleton import SMPLSkeleton, get_per_joint_coords
+
+
+class BaseH5Dataset:
+    """Per-``get_item`` returns one image's ray batch
+    (reference BaseH5Dataset.__getitem__, dataset.py:57-105)."""
+
+    render_skip = 1
+    N_render = 15
+
+    def __init__(self, h5_path: str, N_samples: int = 96, patch_size: int = 1,
+                 split: str = 'full', N_nms: float = 0, subject: str = None,
+                 mask_img: bool = False, multiview: bool = False):
+        self.h5_path = h5_path
+        self.split = split
+        self.dataset = None  # lazy h5 handle (one per worker thread)
+        self.subject = subject
+        self.mask_img = mask_img
+        self.multiview = multiview
+
+        self.N_samples = N_samples
+        self.patch_size = patch_size
+        self.N_nms = int(math.floor(N_nms)) if N_nms >= 1.0 else float(N_nms)
+        self._idx_map = None
+        self._render_idx_map = None
+
+        self.init_meta()
+        self.init_len()
+        self.box2d = None
+        if self.N_nms > 0.0:
+            self.init_box2d()
+
+    # --- setup -----------------------------------------------------------
+
+    def init_len(self):
+        if self._idx_map is not None:
+            self.data_len = len(self._idx_map)
+        else:
+            with h5py.File(self.h5_path, 'r') as f:
+                self.data_len = len(f['imgs'])
+
+    def __len__(self):
+        return self.data_len
+
+    def init_dataset(self):
+        if self.dataset is None:
+            self.dataset = h5py.File(self.h5_path, 'r')
+
+    def init_meta(self):
+        """Load small arrays into memory; precompute the pixel-direction
+        mesh (reference dataset.py:125-182)."""
+        ds = h5py.File(self.h5_path, 'r', swmr=True)
+        self.dataset_keys = list(ds.keys())
+        self.has_bg = 'bkgds' in self.dataset_keys
+        self.centers = ds['centers'][:] if 'centers' in ds else None
+
+        img_shape = ds['img_shape'][:]
+        self._N_total_img = img_shape[0]
+        self.HW = tuple(int(x) for x in img_shape[1:3])
+        H, W = self.HW
+
+        i, j = np.meshgrid(np.arange(W, dtype=np.float32),
+                           np.arange(H, dtype=np.float32), indexing='xy')
+        i, j = i.reshape(-1), j.reshape(-1)
+        if self.centers is None:
+            off_x, off_y = W * 0.5, H * 0.5
+        else:
+            off_x = off_y = 0.
+        self._dirs = np.stack([i - off_x, -(j - off_y), -np.ones_like(i)], -1)
+        self._pixel_idxs = np.arange(H * W).reshape(H, W)
+
+        self.gt_kp3d = ds['gt_kp3d'][:] if 'gt_kp3d' in self.dataset_keys \
+            else None
+        self.kp_map, self.kp_uidxs = None, None
+        self.kp3d, self.bones, self.skts, self.cyls = self._load_pose_data(ds)
+        self.focals, self.c2ws = self._load_camera_data(ds)
+        self.temp_validity = self.init_temporal_validity()
+
+        if self.has_bg:
+            self.bgs = ds['bkgds'][:].reshape(-1, H * W, 3)
+            self.bg_idxs = ds['bkgd_idxs'][:].astype(np.int64)
+
+        self.skel_type = SMPLSkeleton
+        ds.close()
+
+    def _load_pose_data(self, ds):
+        kp3d, bones = ds['kp3d'][:], ds['bones'][:]
+        skts, cyls = ds['skts'][:], ds['cyls'][:]
+        if self.multiview:
+            return self._load_multiview_pose(ds, kp3d, bones, skts, cyls)
+        return kp3d, bones, skts, cyls
+
+    def _load_multiview_pose(self, ds, kp3d, bones, skts, cyls):
+        raise NotImplementedError
+
+    def _load_camera_data(self, ds):
+        return ds['focals'][:], ds['c2ws'][:]
+
+    def init_temporal_validity(self):
+        return None
+
+    def init_box2d(self):
+        """Precompute per-image 2D boxes for out-of-mask sampling
+        (reference dataset.py:207-233)."""
+        H, W = self.HW
+        box2d = []
+        with h5py.File(self.h5_path, 'r', swmr=True) as ds:
+            n = len(ds['imgs'])
+        for i in range(n):
+            c2w, focal, center, _ = self.get_camera_data(i, i, 1)
+            _, _, _, _, cyls = self.get_pose_data(i, i, 1)
+            tl, br, _ = cylinder_to_box_2d(cyls[0], [H, W, focal],
+                                           nerf_c2w_to_extrinsic(c2w),
+                                           center=center, scale=1.3)
+            box2d.append((tl, br))
+        self.box2d = np.array(box2d)
+
+    # --- per-image sampling ---------------------------------------------
+
+    def get_item(self, q_idx: int,
+                 rng: Optional[np.random.Generator] = None
+                 ) -> Dict[str, np.ndarray]:
+        """One image's sampled rays (reference __getitem__)."""
+        rng = rng or np.random.default_rng()
+        idx = self._idx_map[q_idx] if self._idx_map is not None else q_idx
+        self.init_dataset()
+
+        c2w, focal, center, cam_idxs = self.get_camera_data(
+            idx, q_idx, self.N_samples)
+        kp_idxs, kps, bones, skts, cyls = self.get_pose_data(
+            idx, q_idx, self.N_samples)
+        pixel_idxs = self.sample_pixels(idx, q_idx, rng)
+        rays_o, rays_d = self.get_rays(c2w, focal, pixel_idxs, center)
+        rays_rgb, fg, bg = self.get_img_data(idx, pixel_idxs)
+
+        out = {'rays_o': rays_o.astype(np.float32),
+               'rays_d': rays_d.astype(np.float32),
+               'target_s': rays_rgb,
+               'kp_idx': kp_idxs.astype(np.int64),
+               'kp3d': kps, 'bones': bones, 'skts': skts, 'cyls': cyls,
+               'cam_idxs': cam_idxs.astype(np.int64),
+               'fgs': fg}
+        if bg is not None:
+            out['bgs'] = bg
+        return out
+
+    def get_camera_data(self, idx, q_idx, N_samples):
+        real_idx, cam_idx = self.get_cam_idx(idx, q_idx)
+        focal = self.focals[real_idx]
+        c2w = self.c2ws[real_idx].astype(np.float32)
+        center = self.centers[real_idx] if self.centers is not None else None
+        cam_idx = np.array(cam_idx).reshape(-1, 1).repeat(N_samples, 1)
+        return c2w, focal, center, cam_idx.reshape(-1)
+
+    def get_img_data(self, idx, pixel_idxs):
+        fg = self.dataset['masks'][idx, pixel_idxs].astype(np.float32)
+        img = self.dataset['imgs'][idx, pixel_idxs].astype(np.float32) / 255.
+        bg = None
+        if self.has_bg:
+            bg = self.bgs[self.bg_idxs[idx], pixel_idxs].astype(
+                np.float32) / 255.
+            if self.mask_img:
+                img = img * fg + (1. - fg) * bg
+        return img, fg, bg
+
+    def sample_pixels(self, idx, q_idx, rng: np.random.Generator):
+        """Sample N_samples pixel indices from the sampling mask, with
+        optional patch sampling and out-of-mask (NMS) replacement
+        (reference dataset.py:277-322)."""
+        p = self.patch_size
+        N_rand = self.N_samples // int(p ** 2)
+        sampling_mask = self.dataset['sampling_masks'][idx].reshape(-1)
+        valid_idxs, = np.where(sampling_mask > 0)
+        if len(valid_idxs) == 0:
+            valid_idxs = np.arange(sampling_mask.shape[0])
+        sampled_idxs = rng.choice(valid_idxs, N_rand,
+                                  replace=len(valid_idxs) < N_rand)
+        if p > 1:
+            H, W = self.HW
+            hs = np.clip(sampled_idxs // W, 0, H - p)
+            ws = np.clip(sampled_idxs % W, 0, W - p)
+            patches = [self._pixel_idxs[h:h + p, w:w + p].reshape(-1)
+                       for h, w in zip(hs, ws)]
+            sampled_idxs = np.array(patches).reshape(-1)
+
+        if isinstance(self.N_nms, int):
+            N_nms = self.N_nms
+        else:
+            N_nms = int(self.N_nms > rng.random())
+        if N_nms > 0:
+            nms_idxs = self._sample_in_box2d(idx, q_idx, sampling_mask,
+                                             N_nms, rng)
+            sampled_idxs = np.sort(sampled_idxs)
+            sampled_idxs[rng.choice(len(sampled_idxs), size=(N_nms,),
+                                    replace=False)] = nms_idxs
+        return np.sort(sampled_idxs)
+
+    def _sample_in_box2d(self, idx, q_idx, fg, N_samples,
+                         rng: np.random.Generator):
+        H, W = self.HW
+        real_idx, _ = self.get_cam_idx(idx, q_idx)
+        tl, br = self.box2d[real_idx].copy()
+        fg = fg.reshape(H, W)
+        cropped = fg[tl[1]:br[1], tl[0]:br[0]]
+        vy, vx = np.where(cropped < 1)
+        idxs = (vy + tl[1]) * W + (vx + tl[0])
+        return rng.choice(idxs, size=(N_samples,), replace=False)
+
+    def get_rays(self, c2w, focal, pixel_idxs, center=None):
+        """Rays from the precomputed direction mesh
+        (reference dataset.py:346-364)."""
+        dirs = self._dirs[pixel_idxs].copy()
+        if center is not None:
+            center = center.copy()
+            center[1] *= -1
+            dirs[..., :2] -= center
+        dirs[:, :2] /= focal
+        if np.isclose(np.eye(3), c2w[:3, :3]).all():
+            rays_d = dirs
+        else:
+            rays_d = np.sum(dirs[..., None, :] * c2w[:3, :3], -1)
+        rays_o = np.broadcast_to(c2w[:3, -1], rays_d.shape)
+        return rays_o.copy(), rays_d.copy()
+
+    def get_pose_data(self, idx, q_idx, N_samples):
+        real_idx, kp_idx = self.get_kp_idx(idx, q_idx)
+        rep = lambda x: x[real_idx:real_idx + 1].astype(np.float32).repeat(
+            N_samples, 0)
+        kp_idxs = np.array([kp_idx]).repeat(N_samples, 0)
+        return (kp_idxs, rep(self.kp3d), rep(self.bones), rep(self.skts),
+                rep(self.cyls))
+
+    def get_kp_idx(self, idx, q_idx):
+        return idx, q_idx
+
+    def get_cam_idx(self, idx, q_idx):
+        return idx, q_idx
+
+    # --- metadata / render data -----------------------------------------
+
+    def _get_subset_idxs(self, render=False):
+        if self._idx_map is not None:
+            i_idxs = self._idx_map
+            _k = _c = self._idx_map
+            _kq = _cq = np.arange(len(self._idx_map))
+        else:
+            i_idxs = np.arange(self._N_total_img)
+            _k = _kq = np.arange(len(self.kp3d))
+            _c = _cq = np.arange(len(self.c2ws))
+        k_idxs, kq_idxs = self.get_kp_idx(_k, _kq)
+        c_idxs, cq_idxs = self.get_cam_idx(_c, _cq)
+        return k_idxs, c_idxs, i_idxs, kq_idxs, cq_idxs
+
+    def get_meta(self) -> Dict[str, Any]:
+        """Data attributes for model/trainer construction
+        (reference dataset.py:436-488)."""
+        with h5py.File(self.h5_path, 'r', swmr=True) as ds:
+            rest_pose = ds['rest_pose'][:]
+            betas = ds['betas'][:] if 'betas' in ds else np.zeros((1, 10))
+
+        k_idxs, c_idxs, i_idxs, kq_idxs, cq_idxs = self._get_subset_idxs()
+        H, W = self.HW
+        if not np.isscalar(self.focals):
+            H = np.repeat([H], len(c_idxs), 0)
+            W = np.repeat([W], len(c_idxs), 0)
+        if len(betas) > 1:
+            betas = betas[k_idxs]
+        betas = betas.mean(0, keepdims=True).repeat(len(betas), 0)
+
+        return {
+            'hwf': (H, W, self.focals[c_idxs]),
+            'center': (self.centers[c_idxs].copy()
+                       if self.centers is not None else None),
+            'c2ws': self.c2ws[c_idxs],
+            'near': 60., 'far': 100.,  # overridden by cylinder clipping
+            'n_views': self.data_len,
+            'skel_type': self.skel_type,
+            'joint_coords': get_per_joint_coords(rest_pose, self.skel_type),
+            'rest_pose': rest_pose,
+            'gt_kp3d': (self.gt_kp3d[k_idxs]
+                        if self.gt_kp3d is not None else None),
+            'kp3d': self.kp3d[k_idxs],
+            'skts': self.skts[k_idxs],
+            'bones': self.bones[k_idxs],
+            'betas': betas,
+            'kp_map': self.kp_map,
+            'kp_uidxs': self.kp_uidxs,
+        }
+
+    def get_render_data(self) -> Dict[str, Any]:
+        """Held-out images + cameras for validation rendering
+        (reference dataset.py:490-542)."""
+        with h5py.File(self.h5_path, 'r', swmr=True) as ds:
+            k_idxs, c_idxs, i_idxs, kq_idxs, cq_idxs = \
+                self._get_subset_idxs(render=True)
+            kq_idxs = kq_idxs[::self.render_skip][:self.N_render]
+            cq_idxs = cq_idxs[::self.render_skip][:self.N_render]
+            i_idxs = i_idxs[::self.render_skip][:self.N_render]
+            k_idxs = k_idxs[::self.render_skip][:self.N_render]
+            c_idxs = c_idxs[::self.render_skip][:self.N_render]
+
+            H, W = self.HW
+            imgs = ds['imgs'][i_idxs].reshape(-1, H, W, 3).astype(
+                np.float32) / 255.
+            fgs = ds['masks'][i_idxs].reshape(-1, H, W, 1)
+        bgs = (self.bgs.reshape(-1, H, W, 3).astype(np.float32) / 255.
+               if self.has_bg else None)
+        Ha = np.repeat([H], len(c_idxs), 0)
+        Wa = np.repeat([W], len(c_idxs), 0)
+        return {
+            'imgs': imgs, 'fgs': fgs, 'bgs': bgs,
+            'bg_idxs': self.bg_idxs[i_idxs] if self.has_bg else None,
+            'bg_idxs_len': len(self.bgs) if self.has_bg else 0,
+            'cam_idxs': c_idxs, 'cam_idxs_len': len(self.c2ws),
+            'c2ws': self.c2ws[c_idxs],
+            'hwf': (Ha, Wa, self.focals[c_idxs]),
+            'center': (self.centers[c_idxs].copy()
+                       if self.centers is not None else None),
+            'kp_idxs': k_idxs, 'kp_idxs_len': len(self.kp3d),
+            'kp3d': self.kp3d[k_idxs],
+            'skts': self.skts[k_idxs],
+            'bones': self.bones[k_idxs],
+        }
+
+
+class PoseRefinedDataset(BaseH5Dataset):
+    """Loads refined poses from a pose checkpoint instead of the h5
+    (reference dataset.py:544-568).  ``refined_paths`` maps subject ->
+    (ckpt path, legacy flag); checkpoints may be ours (msgpack) or the
+    reference's torch ``.tar``."""
+
+    refined_paths: Dict[str, Tuple[str, bool]] = {}
+
+    def __init__(self, *args, load_refined: bool = False, **kwargs):
+        self.load_refined = load_refined
+        super().__init__(*args, **kwargs)
+
+    def _load_pose_data(self, ds):
+        if not self.load_refined:
+            return super()._load_pose_data(ds)
+        assert hasattr(self, 'refined_paths') and \
+            self.subject in self.refined_paths, \
+            f'no refined pose path for subject {self.subject}'
+        refined_path, legacy = self.refined_paths[self.subject]
+        from ..training.checkpoint import load_refined_pose_data
+        kp3d, bones, skts, cyls = load_refined_pose_data(
+            refined_path, legacy=legacy)[:4]
+        if self.multiview:
+            return self._load_multiview_pose(ds, kp3d, bones, skts, cyls)
+        return kp3d, bones, skts, cyls
+
+
+class ConcatH5Dataset:
+    """Multi-subject training (reference dataset.py:570-641): offsets
+    cam/kp indices per sub-dataset and adds ``subject_idxs``."""
+
+    def __init__(self, datasets: List[BaseH5Dataset]):
+        self.datasets = datasets
+        self.cumulative_sizes = np.cumsum([len(d) for d in datasets])
+        metas = [d.get_meta() for d in datasets]
+        self.cumulative_views = np.cumsum([m['n_views'] for m in metas])
+        self.cumulative_kps = np.cumsum([len(m['kp3d']) for m in metas])
+
+    def __len__(self):
+        return int(self.cumulative_sizes[-1])
+
+    def get_item(self, idx, rng=None):
+        d_idx = int(np.searchsorted(self.cumulative_sizes, idx, side='right'))
+        s_idx = idx if d_idx == 0 else idx - self.cumulative_sizes[d_idx - 1]
+        ret = self.datasets[d_idx].get_item(int(s_idx), rng)
+        if d_idx != 0:
+            ret['cam_idxs'] = ret['cam_idxs'] + self.cumulative_views[d_idx - 1]
+            ret['kp_idx'] = ret['kp_idx'] + self.cumulative_kps[d_idx - 1]
+        ret['subject_idxs'] = np.array([d_idx]).repeat(
+            len(ret['cam_idxs']), 0)
+        return ret
+
+    def get_meta(self):
+        metas = [d.get_meta() for d in self.datasets]
+        merged = {}
+        H = np.concatenate([np.atleast_1d(m['hwf'][0]) for m in metas])
+        W = np.concatenate([np.atleast_1d(m['hwf'][1]) for m in metas])
+        focals = np.concatenate([np.atleast_1d(m['hwf'][2]) for m in metas])
+        merged['hwf'] = (H, W, focals)
+        merged['near'] = metas[0]['near']
+        merged['far'] = metas[0]['far']
+        merged['n_views'] = int(np.sum([m['n_views'] for m in metas]))
+        merged['skel_type'] = metas[0]['skel_type']
+        for k in ['joint_coords', 'rest_pose']:
+            merged[k] = np.stack([m[k] for m in metas], axis=0)
+        has_gt = all(m.get('gt_kp3d') is not None for m in metas)
+        for k in ['gt_kp3d', 'kp3d', 'bones', 'betas']:
+            if k == 'gt_kp3d' and not has_gt:
+                continue
+            merged[k] = np.concatenate([m[k] for m in metas])
+        merged['skts'] = np.concatenate([m['skts'] for m in metas])
+        kp_lens = np.cumsum([len(m['kp3d']) for m in metas])
+        merged['rest_pose_idxs'] = np.searchsorted(
+            kp_lens, np.arange(len(merged['kp3d'])), side='right')
+        merged['n_subjects'] = len(self.datasets)
+        merged['kp_map'] = merged['kp_uidxs'] = None
+        merged['center'] = None
+        return merged
+
+    def get_render_data(self):
+        return self.datasets[0].get_render_data()
+
+
+class TemporalDatasetWrapper:
+    """Adds ``temp_val`` validity for the temporal loss
+    (reference dataset.py:713-728)."""
+
+    def __init__(self, dataset):
+        self._dataset = dataset
+        assert hasattr(dataset, 'temp_validity') and \
+            dataset.temp_validity is not None, \
+            f'{type(dataset)} does not support temporal loss'
+
+    def __len__(self):
+        return len(self._dataset)
+
+    def __getattr__(self, name):
+        return getattr(self._dataset, name)
+
+    def get_item(self, idx, rng=None):
+        ret = self._dataset.get_item(idx, rng)
+        tv = self._dataset.temp_validity
+        next_idx = (idx + 1) % len(tv)
+        temp_val = (tv[idx] + tv[next_idx]) // 2
+        ret['temp_val'] = np.repeat(np.float32(temp_val),
+                                    ret['kp_idx'].shape[0], 0)
+        return ret
+
+    def get_meta(self):
+        return self._dataset.get_meta()
+
+    def get_render_data(self):
+        return self._dataset.get_render_data()

@@ -1,0 +1,159 @@
+"""Tests for the data layer on a synthetic h5 dataset."""
+import os
+
+import numpy as np
+import pytest
+
+from anerf_tpu.data.dataset import BaseH5Dataset, TemporalDatasetWrapper
+from anerf_tpu.data.h5_writer import make_synthetic_h5
+from anerf_tpu.data.loaders import SurrealDataset, SyntheticDataset
+from anerf_tpu.data.pipeline import Prefetcher, RayImageSampler, ray_collate
+
+
+@pytest.fixture(scope='module')
+def h5_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp('data') / 'synthetic.h5'
+    return make_synthetic_h5(str(p), n_frames=6, H=24, W=24)
+
+
+@pytest.fixture(scope='module')
+def surreal_h5(tmp_path_factory):
+    p = tmp_path_factory.mktemp('data') / 'surreal_train_h5py.h5'
+    return make_synthetic_h5(str(p), n_frames=4, n_cams=3, H=24, W=24,
+                             layout='surreal')
+
+
+def test_dataset_get_item_shapes(h5_path):
+    ds = BaseH5Dataset(h5_path, N_samples=16)
+    rng = np.random.default_rng(0)
+    item = ds.get_item(2, rng)
+    assert item['rays_o'].shape == (16, 3)
+    assert item['rays_d'].shape == (16, 3)
+    assert item['target_s'].shape == (16, 3)
+    assert item['kp_idx'].shape == (16,)
+    assert (item['kp_idx'] == 2).all()
+    assert item['kp3d'].shape == (16, 24, 3)
+    assert item['skts'].shape == (16, 24, 4, 4)
+    assert item['cyls'].shape == (16, 5)
+    assert item['bgs'].shape == (16, 3)
+    assert item['fgs'].shape == (16, 1)
+
+
+def test_rays_match_reference_convention(h5_path):
+    """Rays built from the precomputed dir mesh must match get_rays_np."""
+    from anerf_tpu.ops.rays import get_rays_np
+    ds = BaseH5Dataset(h5_path, N_samples=8)
+    ds.init_dataset()
+    c2w, focal, center, _ = ds.get_camera_data(0, 0, 1)
+    pixel_idxs = np.array([0, 13, 100, 24 * 24 - 1])
+    rays_o, rays_d = ds.get_rays(c2w, focal, pixel_idxs, center)
+    ro_full, rd_full = get_rays_np(24, 24, float(focal), c2w)
+    np.testing.assert_allclose(rays_d,
+                               rd_full.reshape(-1, 3)[pixel_idxs], atol=1e-5)
+    np.testing.assert_allclose(rays_o,
+                               ro_full.reshape(-1, 3)[pixel_idxs], atol=1e-6)
+
+
+def test_sample_pixels_respects_mask(h5_path):
+    ds = BaseH5Dataset(h5_path, N_samples=8)
+    ds.init_dataset()
+    # restrict sampling mask to foreground only for this check
+    mask = ds.dataset['sampling_masks'][1].reshape(-1)
+    rng = np.random.default_rng(0)
+    idxs = ds.sample_pixels(1, 1, rng)
+    assert len(idxs) == 8
+    assert (mask[idxs] > 0).all()
+    assert (np.diff(idxs) >= 0).all()  # sorted for fast h5 gather
+
+
+def test_get_meta(h5_path):
+    ds = BaseH5Dataset(h5_path, N_samples=8)
+    meta = ds.get_meta()
+    assert meta['kp3d'].shape == (6, 24, 3)
+    assert meta['rest_pose'].shape == (24, 3)
+    assert meta['joint_coords'].shape == (24, 3, 3)
+    assert meta['n_views'] == 6
+
+
+def test_surreal_idx_mapping(surreal_h5):
+    ds = SurrealDataset(surreal_h5, N_samples=8, split='train')
+    # 12 images = 3 cams x 4 kps
+    assert len(ds) == 12
+    # image 7 -> kp 3, cam 1
+    real_kp, kp_idx = ds.get_kp_idx(7, 7)
+    real_cam, cam_idx = ds.get_cam_idx(7, 7)
+    assert real_kp == 3 and kp_idx == 3
+    assert cam_idx == 1
+    item = ds.get_item(7, np.random.default_rng(0))
+    assert (item['kp_idx'] == 3).all()
+    assert (item['cam_idxs'] == 1).all()
+
+
+def test_temporal_wrapper(h5_path):
+    ds = SyntheticDataset(h5_path, N_samples=8)
+    ds.temp_validity = np.array([0, 1, 1, 1, 1, 1])
+    w = TemporalDatasetWrapper(ds)
+    item = w.get_item(3, np.random.default_rng(0))
+    assert item['temp_val'].shape == (8,)
+    assert (item['temp_val'] == 1).all()
+    item0 = w.get_item(0, np.random.default_rng(0))
+    assert (item0['temp_val'] == 0).all()
+
+
+def test_sampler_covers_all_images():
+    s = RayImageSampler(n_data=10, N_images=4, N_iter=5, seed=0)
+    batches = list(s)
+    assert len(batches) == 5
+    # the first ceil(10/4)=3 batches consume one full permutation (+2)
+    seen = np.concatenate(batches[:3])
+    assert set(range(10)) <= set(seen.tolist())
+    for b in batches:
+        assert (np.diff(b) >= 0).all()
+
+
+def test_prefetcher_and_collate(h5_path):
+    ds = BaseH5Dataset(h5_path, N_samples=8)
+    pf = Prefetcher(ds, N_images=4, n_workers=2, N_iter=3, seed=0)
+    batches = list(pf)
+    assert len(batches) == 3
+    b = batches[0]
+    assert b['rays_o'].shape == (32, 3)
+    assert b['kps'].shape == (32, 24, 3)
+    assert b['kp_idx'].dtype == np.int32
+    assert b['target_s'].shape == (32, 3)
+
+
+def test_batch_trains(h5_path):
+    """A real data batch must flow through the jitted train step."""
+    import jax
+    import jax.numpy as jnp
+    from anerf_tpu.models.factory import build_raycast_config
+    from anerf_tpu.skeleton import SMPLSkeleton
+    from anerf_tpu.training import pose_opt as P
+    from anerf_tpu.training.trainer import (TrainSetup, init_train_state,
+                                            make_train_step)
+    from anerf_tpu.utils.config import Config
+
+    cfg = Config(use_cutoff=True, cutoff_viewdir=True, cutoff_inputs=True,
+                 use_viewdirs=True, multires=3, multires_views=2,
+                 netdepth=2, netwidth=16, N_samples=6, N_importance=3,
+                 N_rand=32, N_sample_images=4, opt_framecode=True,
+                 framecode_size=4, use_background=True, opt_pose=True,
+                 opt_pose_step=2, opt_pose_coef=0.1)
+    ds = BaseH5Dataset(h5_path, N_samples=8)
+    meta = ds.get_meta()
+    rc = build_raycast_config(cfg, n_framecodes=meta['n_views'])
+    setup = TrainSetup(cfg=cfg, rc=rc, skel=SMPLSkeleton,
+                       rest_pose=jnp.asarray(meta['rest_pose']),
+                       anchors=P.make_anchors(meta['kp3d'], meta['bones']),
+                       near=0.1, far=6.0)
+    state = init_train_state(setup, jax.random.PRNGKey(0),
+                             init_kp3d=meta['kp3d'],
+                             init_bones=meta['bones'])
+    step = jax.jit(make_train_step(setup))
+    pf = Prefetcher(ds, N_images=4, n_workers=1, N_iter=2, seed=0)
+    for i, batch in enumerate(pf):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, stats = step(state, batch, jax.random.PRNGKey(i))
+        assert np.isfinite(float(stats['total_loss']))
+    assert int(state['step']) == 2
