@@ -1,0 +1,196 @@
+"""Full-image rendering: valid-ray selection, padded static-shape chunks.
+
+TPU redesign of reference run_nerf.py:27-145 ``render_path`` +
+core/trainer.py:64-145 ``render``/``batchify_rays`` and
+core/utils/ray_utils.py:83-136 ``kp_to_valid_rays``.
+
+The reference python-loops variable-size ray chunks; ragged workloads
+retrace XLA, so here each image's valid rays (inside the projected
+cylinder box) are padded to a multiple of a fixed chunk size and
+processed by one jitted chunk program reused across all images/poses.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.raycaster import RayCastConfig, render_rays
+from ..ops.cylinder import (cylinder_to_box_2d, get_kp_bounding_cylinder,
+                            nerf_c2w_to_extrinsic)
+from ..ops.rays import get_rays_np
+
+
+def kp_to_valid_rays(c2ws, H, W, focals, kps=None, cylinder_params=None,
+                     centers=None, ext_scale=0.00035
+                     ) -> Tuple[List, List, np.ndarray, List]:
+    """Rays restricted to the projected cylinder box per pose
+    (reference ray_utils.py:83-136).
+
+    Returns (rays list of (rays_o, rays_d), valid_idxs list, cylinder
+    params, bboxes).
+    """
+    if cylinder_params is None:
+        assert kps is not None
+        cylinder_params = get_kp_bounding_cylinder(
+            np.asarray(kps), ext_scale=ext_scale, extend_mm=250,
+            top_expand_ratio=1.60, bot_expand_ratio=1.10, head='-y')
+
+    rays, valid_idxs, bboxes = [], [], []
+    for i, c2w in enumerate(c2ws):
+        cyl = cylinder_params[i % len(cylinder_params)]
+        f = focals if np.isscalar(focals) else focals[i]
+        h = H if np.isscalar(H) else H[i]
+        w = W if np.isscalar(W) else W[i]
+        center = None if centers is None else centers[i]
+
+        ray_o, ray_d = get_rays_np(int(h), int(w), float(f) if np.isscalar(f)
+                                   else f, np.asarray(c2w), center=center)
+        w2c = nerf_c2w_to_extrinsic(np.asarray(c2w))
+        tl, br, _ = cylinder_to_box_2d(cyl, [int(h), int(w), f], w2c,
+                                       center=center)
+        hh, ww = np.meshgrid(np.arange(tl[1], br[1]),
+                             np.arange(tl[0], br[0]), indexing='ij')
+        valid = (hh * int(w) + ww).reshape(-1)
+        rays.append((ray_o.reshape(-1, 3)[valid],
+                     ray_d.reshape(-1, 3)[valid]))
+        valid_idxs.append(valid)
+        bboxes.append((tl, br))
+    return rays, valid_idxs, cylinder_params, bboxes
+
+
+class ImageRenderer:
+    """Chunked, jit-cached full-image renderer."""
+
+    def __init__(self, rc: RayCastConfig, params, state: Dict[str, Any],
+                 chunk: int = 4096, near: float = 0., far: float = 1.,
+                 white_bkgd: bool = False):
+        self.rc = rc.eval_variant()
+        self.params = params
+        self.state = state
+        self.chunk = chunk
+        self.near = near
+        self.far = far
+        self.white_bkgd = white_bkgd
+        self._chunk_fn = jax.jit(self._render_chunk)
+
+    def _render_chunk(self, params, rays_o, rays_d, pose, cam_idxs):
+        out = render_rays(self.rc, params, rays_o, rays_d,
+                          self.near, self.far, pose, self.state,
+                          cam_idxs=cam_idxs)
+        return {'rgb_map': out['rgb_map'], 'disp_map': out['disp_map'],
+                'acc_map': out['acc_map']}
+
+    def render_rays_np(self, rays_o: np.ndarray, rays_d: np.ndarray,
+                       kp: np.ndarray, skt: np.ndarray, bone: np.ndarray,
+                       cyl: np.ndarray, cam_idx: int = -1
+                       ) -> Dict[str, np.ndarray]:
+        """Render an arbitrary number of rays for one pose; pads the tail
+        chunk so only one program is ever compiled."""
+        n = rays_o.shape[0]
+        C = self.chunk
+        n_pad = (n + C - 1) // C * C
+        pad = n_pad - n
+        ro = np.concatenate([rays_o, np.repeat(rays_o[-1:], pad, 0)], 0)
+        rd = np.concatenate([rays_d, np.repeat(rays_d[-1:], pad, 0)], 0)
+
+        outs = {k: [] for k in ('rgb_map', 'disp_map', 'acc_map')}
+        for s in range(0, n_pad, C):
+            pose = {
+                'kps': jnp.broadcast_to(jnp.asarray(kp), (C, 24, 3)),
+                'skts': jnp.broadcast_to(jnp.asarray(skt), (C, 24, 4, 4)),
+                'bones': jnp.broadcast_to(jnp.asarray(bone), (C,) +
+                                          tuple(bone.shape[-2:])),
+                'cyls': jnp.broadcast_to(jnp.asarray(cyl), (C, 5)),
+            }
+            cam = jnp.full((C,), cam_idx, jnp.int32)
+            ret = self._chunk_fn(self.params, jnp.asarray(ro[s:s + C]),
+                                 jnp.asarray(rd[s:s + C]), pose, cam)
+            for k in outs:
+                outs[k].append(np.asarray(ret[k]))
+        return {k: np.concatenate(v)[:n] for k, v in outs.items()}
+
+    def render_image(self, H: int, W: int, focal, c2w,
+                     kp, skt, bone, cyl=None, center=None, cam_idx: int = -1,
+                     bg: Optional[np.ndarray] = None,
+                     ext_scale: float = 0.001) -> Dict[str, np.ndarray]:
+        """Render a full image, casting only rays inside the projected
+        cylinder box and compositing onto the background
+        (reference render_path, run_nerf.py:27-145)."""
+        if cyl is None:
+            cyl = get_kp_bounding_cylinder(kp[None], ext_scale=ext_scale,
+                                           extend_mm=250,
+                                           top_expand_ratio=1.60,
+                                           bot_expand_ratio=1.10,
+                                           head='-y')[0]
+        rays, valid_idxs, _, bboxes = kp_to_valid_rays(
+            [c2w], H, W, focal, cylinder_params=cyl[None],
+            centers=None if center is None else [center])
+        rays_o, rays_d = rays[0]
+        valid = valid_idxs[0]
+
+        if bg is not None:
+            rgb = bg.reshape(H * W, 3).astype(np.float32).copy()
+        elif self.white_bkgd:
+            rgb = np.ones((H * W, 3), np.float32)
+        else:
+            rgb = np.zeros((H * W, 3), np.float32)
+        disp = np.zeros((H * W,), np.float32)
+        acc = np.zeros((H * W,), np.float32)
+
+        if len(valid) > 0:
+            ret = self.render_rays_np(rays_o, rays_d, kp, skt, bone, cyl,
+                                      cam_idx)
+            base = rgb[valid]
+            rgb[valid] = ret['rgb_map'] + (1. - ret['acc_map'][:, None]) * base
+            disp[valid] = np.nan_to_num(ret['disp_map'])
+            acc[valid] = ret['acc_map']
+
+        return {'rgb': rgb.reshape(H, W, 3),
+                'disp': disp.reshape(H, W),
+                'acc': acc.reshape(H, W),
+                'bbox': bboxes[0]}
+
+    def render_path(self, render_data: Dict[str, Any],
+                    ext_scale: float = 0.001,
+                    verbose: bool = False) -> Dict[str, np.ndarray]:
+        """Render a sequence of poses (reference run_nerf.py:27-145)."""
+        H, W, focals = render_data['hwf']
+        c2ws = render_data['c2ws']
+        kps = render_data['kp3d']
+        skts = render_data['skts']
+        bones = render_data['bones']
+        cyls = render_data.get('cyls')
+        centers = render_data.get('center')
+        cam_idxs = render_data.get('cam_idxs')
+        bgs = render_data.get('bgs')
+        bg_idxs = render_data.get('bg_idxs')
+
+        rgbs, disps, accs, bboxes = [], [], [], []
+        for i in range(len(c2ws)):
+            t0 = time.time()
+            h = int(H if np.isscalar(H) else H[i])
+            w = int(W if np.isscalar(W) else W[i])
+            f = focals if np.isscalar(focals) else focals[i]
+            kp_i = kps[i % len(kps)]
+            bg = None
+            if bgs is not None:
+                bg = bgs[bg_idxs[i] if bg_idxs is not None else 0]
+            out = self.render_image(
+                h, w, f, c2ws[i], kp_i, skts[i % len(skts)],
+                bones[i % len(bones)],
+                cyl=None if cyls is None else cyls[i % len(cyls)],
+                center=None if centers is None else centers[i],
+                cam_idx=(int(cam_idxs[i]) if cam_idxs is not None else -1),
+                bg=bg, ext_scale=ext_scale)
+            rgbs.append(out['rgb'])
+            disps.append(out['disp'])
+            accs.append(out['acc'])
+            bboxes.append(out['bbox'])
+            if verbose:
+                print(f'render {i}: {time.time() - t0:.3f}s')
+        return {'rgbs': np.stack(rgbs), 'disps': np.stack(disps),
+                'accs': np.stack(accs), 'bboxes': bboxes}
