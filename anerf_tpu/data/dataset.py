@@ -74,7 +74,7 @@ class BaseH5Dataset:
     def init_meta(self):
         """Load small arrays into memory; precompute the pixel-direction
         mesh (reference dataset.py:125-182)."""
-        ds = h5py.File(self.h5_path, 'r', swmr=True)
+        ds = h5py.File(self.h5_path, 'r')
         self.dataset_keys = list(ds.keys())
         self.has_bg = 'bkgds' in self.dataset_keys
         self.centers = ds['centers'][:] if 'centers' in ds else None
@@ -129,7 +129,7 @@ class BaseH5Dataset:
         (reference dataset.py:207-233)."""
         H, W = self.HW
         box2d = []
-        with h5py.File(self.h5_path, 'r', swmr=True) as ds:
+        with h5py.File(self.h5_path, 'r') as ds:
             n = len(ds['imgs'])
         for i in range(n):
             c2w, focal, center, _ = self.get_camera_data(i, i, 1)
@@ -279,7 +279,7 @@ class BaseH5Dataset:
     def get_meta(self) -> Dict[str, Any]:
         """Data attributes for model/trainer construction
         (reference dataset.py:436-488)."""
-        with h5py.File(self.h5_path, 'r', swmr=True) as ds:
+        with h5py.File(self.h5_path, 'r') as ds:
             rest_pose = ds['rest_pose'][:]
             betas = ds['betas'][:] if 'betas' in ds else np.zeros((1, 10))
 
@@ -315,7 +315,7 @@ class BaseH5Dataset:
     def get_render_data(self) -> Dict[str, Any]:
         """Held-out images + cameras for validation rendering
         (reference dataset.py:490-542)."""
-        with h5py.File(self.h5_path, 'r', swmr=True) as ds:
+        with h5py.File(self.h5_path, 'r') as ds:
             k_idxs, c_idxs, i_idxs, kq_idxs, cq_idxs = \
                 self._get_subset_idxs(render=True)
             kq_idxs = kq_idxs[::self.render_skip][:self.N_render]

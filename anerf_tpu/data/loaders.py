@@ -83,7 +83,7 @@ class MixamoDataset(PoseRefinedDataset):
     refined_paths: Dict[str, Tuple[str, bool]] = {}
 
     def init_meta(self):
-        with h5py.File(self.h5_path, 'r', swmr=True) as ds:
+        with h5py.File(self.h5_path, 'r') as ds:
             sel_path = self.h5_path.replace('processed_h5py.h5',
                                             'selected.npy')
             if os.path.exists(sel_path):
@@ -114,7 +114,7 @@ class MonoPerfCapDataset(PoseRefinedDataset):
     refined_paths: Dict[str, Tuple[str, bool]] = {}
 
     def init_meta(self):
-        with h5py.File(self.h5_path, 'r', swmr=True) as ds:
+        with h5py.File(self.h5_path, 'r') as ds:
             train_idxs = np.arange(len(ds['imgs']))
         self._idx_map = None
         if self.split != 'full':
@@ -139,7 +139,7 @@ class H36MDataset(PoseRefinedDataset):
     val_sets = ('Greeting-', 'Walking-', 'Posing-')
 
     def init_meta(self):
-        with h5py.File(self.h5_path, 'r', swmr=True) as ds:
+        with h5py.File(self.h5_path, 'r') as ds:
             img_paths = ds['img_paths'][:] if 'img_paths' in ds else None
         self._idx_map = None
         if img_paths is not None and self.split != 'full':

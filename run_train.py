@@ -1,0 +1,165 @@
+"""Training entry point (the reference's run_nerf.py equivalent).
+
+Usage:
+    python run_train.py --config configs/surreal/surreal.txt [--flag value]
+
+Mirrors reference run_nerf.py:491-618 ``train()``: config -> data ->
+raycaster -> pose-opt -> loop with periodic checkpointing, pose-only
+checkpoints, validation renders (PSNR/SSIM + skeleton overlays) and
+scalar logging — all on the jitted TPU train step with rays sharded
+over the device mesh.
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def train(cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from anerf_tpu.data.loaders import load_data
+    from anerf_tpu.models.factory import (build_raycast_config, embed_state)
+    from anerf_tpu.parallel.sharding import (make_mesh, replicate_state,
+                                             shard_train_step)
+    from anerf_tpu.render.renderer import ImageRenderer
+    from anerf_tpu.training import pose_opt as P
+    from anerf_tpu.training.checkpoint import (latest_checkpoint,
+                                               load_checkpoint,
+                                               load_torch_checkpoint,
+                                               restore_train_state,
+                                               save_checkpoint,
+                                               save_pose_checkpoint)
+    from anerf_tpu.training.trainer import (TrainSetup, init_train_state,
+                                            make_train_step)
+    from anerf_tpu.eval.metrics import evaluate_images
+    from anerf_tpu.utils.config import save_args_txt
+    from anerf_tpu.utils.logging import (MetricLogger, draw_skeleton_2d)
+
+    logdir = os.path.join(cfg.basedir, cfg.expname)
+    os.makedirs(logdir, exist_ok=True)
+    save_args_txt(cfg, logdir)
+    logger = MetricLogger(logdir)
+
+    # --- data ---
+    prefetcher, render_data, data_attrs = load_data(cfg)
+    n_framecodes = int(data_attrs['n_views'])
+    rest_pose = np.asarray(data_attrs['rest_pose'], np.float32)
+
+    # --- model + trainer ---
+    rc = build_raycast_config(cfg, skel=data_attrs['skel_type'],
+                              n_framecodes=n_framecodes)
+    anchors = P.make_anchors(data_attrs['kp3d'], data_attrs['bones']) \
+        if cfg.opt_pose else None
+    kp_map = (jnp.asarray(data_attrs['kp_map'])
+              if data_attrs.get('kp_map') is not None else None)
+    setup = TrainSetup(cfg=cfg, rc=rc, skel=data_attrs['skel_type'],
+                       rest_pose=jnp.asarray(rest_pose),
+                       anchors=anchors, kp_map=kp_map,
+                       near=0.0, far=1.0)
+    state = init_train_state(setup, jax.random.PRNGKey(cfg.seed),
+                             init_kp3d=data_attrs['kp3d'],
+                             init_bones=data_attrs['bones'])
+
+    # --- resume ---
+    start = 0
+    ckpt_path = None
+    if cfg.ft_path not in (None, 'None'):
+        ckpt_path = cfg.ft_path
+    elif not cfg.no_reload:
+        ckpt_path = latest_checkpoint(logdir)
+    if ckpt_path is not None:
+        print(f'Reloading from {ckpt_path}')
+        if ckpt_path.endswith('.tar'):
+            loaded = load_torch_checkpoint(ckpt_path)
+            state['params'] = jax.tree_util.tree_map(
+                lambda t, l: jnp.asarray(l).astype(t.dtype),
+                state['params'], loaded['params'])
+            if not cfg.finetune:
+                start = loaded['global_step']
+                state['step'] = jnp.asarray(start, jnp.int32)
+        else:
+            state, start = restore_train_state(
+                state, load_checkpoint(ckpt_path), finetune=cfg.finetune)
+
+    # --- sharding over the device mesh ---
+    n_dev = cfg.n_devices or jax.device_count()
+    mesh = make_mesh(n_dev)
+    state = replicate_state(mesh, state)
+    step_fn = shard_train_step(make_train_step(setup), mesh)
+
+    renderer = ImageRenderer(rc, state['params'],
+                             embed_state(cfg, rc, start),
+                             chunk=cfg.chunk, near=0., far=1.,
+                             white_bkgd=cfg.white_bkgd)
+
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+    print(f'Training {cfg.expname}: steps {start}..{cfg.n_iters} on '
+          f'{n_dev} device(s)')
+    t_last = time.time()
+    i = start
+    for batch in prefetcher:
+        if i >= cfg.n_iters:
+            break
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, stats = step_fn(state, batch, jax.random.fold_in(rng, i))
+        i += 1
+
+        if i % cfg.i_print == 0:
+            scalars = {k: v for k, v in stats.items()}
+            dt = time.time() - t_last
+            scalars['rays_per_sec'] = cfg.N_rand * cfg.i_print / dt
+            t_last = time.time()
+            logger.log_scalars(i, scalars, prefix='Loss/')
+            loss = float(stats['total_loss'])
+            psnr_v = float(stats.get('psnr', np.nan))
+            print(f'[{i}] loss={loss:.5f} psnr={psnr_v:.2f} '
+                  f"rays/s={scalars['rays_per_sec']:.0f}")
+
+        if i % cfg.i_weights == 0:
+            path = save_checkpoint(logdir, state, i, anchors=anchors)
+            print('Saved checkpoint at', path)
+
+        if cfg.opt_pose and i % cfg.i_pose_weights == 0:
+            save_pose_checkpoint(logdir, state, i, anchors=anchors)
+
+        if i % cfg.i_testset == 0 and render_data is not None:
+            renderer.params = state['params']
+            renderer.state = embed_state(cfg, rc, i)
+            out = renderer.render_path(render_data, ext_scale=cfg.ext_scale)
+            logger.log_video(i, 'Val/RGB', out['rgbs'])
+            if render_data.get('imgs') is not None:
+                m = evaluate_images(out['rgbs'], render_data['imgs'],
+                                    fgs=render_data.get('fgs'),
+                                    bboxes=out['bboxes'])
+                logger.log_scalars(i, {'psnr': float(np.nanmean(m['psnr'])),
+                                       'ssim': float(np.nanmean(m['ssim']))},
+                                   prefix='Val/')
+                print(f"[val {i}] psnr={np.nanmean(m['psnr']):.2f} "
+                      f"ssim={np.nanmean(m['ssim']):.3f}")
+            # skeleton overlays
+            try:
+                H, W, focals = render_data['hwf']
+                skels = []
+                for j in range(len(out['rgbs'])):
+                    f = focals if np.isscalar(focals) else focals[j]
+                    skels.append(draw_skeleton_2d(
+                        out['rgbs'][j], render_data['kp3d'][j],
+                        render_data['c2ws'][j], f))
+                logger.log_video(i, 'Val/Skeleton', np.stack(skels))
+            except Exception as e:
+                print('skeleton overlay failed:', e)
+
+    save_checkpoint(logdir, state, i, anchors=anchors)
+    prefetcher.stop()
+    logger.close()
+    print('Training done at step', i)
+    return state
+
+
+if __name__ == '__main__':
+    from anerf_tpu.utils.config import config_from_cli
+    cfg = config_from_cli(sys.argv[1:])
+    train(cfg)

@@ -1,0 +1,92 @@
+"""End-to-end smoke tests: CLI train -> checkpoint -> CLI render."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from anerf_tpu.data.h5_writer import make_synthetic_h5
+
+
+@pytest.fixture(scope='module')
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp('e2e')
+    make_synthetic_h5(str(d / 'synthetic.h5'), n_frames=6, H=24, W=24)
+    return d
+
+
+def test_train_and_render_cli(workdir):
+    """Run the actual CLI entry points in-process (CPU, tiny config)."""
+    import jax
+    from anerf_tpu.utils.config import load_config
+    from run_train import train
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), '..',
+                                   'configs', 'synthetic_tiny.txt'))
+    cfg.basedir = str(workdir / 'logs')
+    cfg.datadir = str(workdir / 'synthetic.h5')
+    cfg.n_iters = 6
+    cfg.i_weights = 3
+    cfg.i_print = 2
+    cfg.num_workers = 1
+    train(cfg)
+
+    logdir = os.path.join(cfg.basedir, cfg.expname)
+    assert os.path.exists(os.path.join(logdir, 'args.txt'))
+    ckpts = [f for f in os.listdir(logdir) if f.startswith('ckpt_')]
+    assert ckpts, 'no checkpoint written'
+    assert any(f.startswith('pose_ckpt_') for f in os.listdir(logdir)) or \
+        cfg.i_pose_weights > cfg.n_iters
+    metrics = os.path.join(logdir, 'metrics.jsonl')
+    assert os.path.exists(metrics)
+    with open(metrics) as f:
+        recs = [json.loads(l) for l in f]
+    assert any('total_loss' in r for r in recs)
+
+    # resume: train a few more steps from the checkpoint
+    cfg2 = load_config(os.path.join(os.path.dirname(__file__), '..',
+                                    'configs', 'synthetic_tiny.txt'))
+    cfg2.basedir = cfg.basedir
+    cfg2.datadir = cfg.datadir
+    cfg2.n_iters = 8
+    cfg2.num_workers = 1
+    state = train(cfg2)
+    assert int(state['step']) == 8
+
+    # render from the checkpoint via the render CLI
+    import run_render
+    ckpt = sorted(os.path.join(logdir, f) for f in os.listdir(logdir)
+                  if f.startswith('ckpt_'))[-1]
+    outdir = str(workdir / 'render')
+    run_render.main(['--nerf_args', os.path.join(logdir, 'args.txt'),
+                     '--ckptpath', ckpt,
+                     '--dataset_path', cfg.datadir,
+                     '--render_type', 'bullet',
+                     '--selected_idxs', '0',
+                     '--n_bullet', '2',
+                     '--outputdir', outdir, '--runname', 'bullet',
+                     '--chunk', '512'])
+    files = os.listdir(os.path.join(outdir, 'bullet'))
+    assert any(f.endswith('.png') for f in files)
+
+    # val render with eval metrics
+    run_render.main(['--nerf_args', os.path.join(logdir, 'args.txt'),
+                     '--ckptpath', ckpt,
+                     '--dataset_path', cfg.datadir,
+                     '--render_type', 'val',
+                     '--eval',
+                     '--outputdir', outdir, '--runname', 'val',
+                     '--chunk', '512'])
+    assert os.path.exists(os.path.join(outdir, 'val', 'score_final.txt'))
+
+    # refined-pose render path
+    run_render.main(['--nerf_args', os.path.join(logdir, 'args.txt'),
+                     '--ckptpath', ckpt,
+                     '--dataset_path', cfg.datadir,
+                     '--render_type', 'selected', '--render_refined',
+                     '--selected_idxs', '1',
+                     '--outputdir', outdir, '--runname', 'refined',
+                     '--chunk', '512'])
+    assert os.path.exists(os.path.join(outdir, 'refined', '0000.png'))
