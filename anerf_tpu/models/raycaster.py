@@ -51,6 +51,7 @@ class RayCastConfig:
     kp_dist_type: str = 'reldist'
     view_type: str = 'relray'
     bone_type: str = 'reldir'
+    remat: bool = True   # recompute encode+MLP in backward (HBM saver)
 
     def density_fn(self):
         return compositing.get_density_fn(self.density_type,
@@ -109,7 +110,10 @@ def encode_inputs(rc: RayCastConfig,
     if d is not None:
         d, _ = embed(d, rc.view_embed, dists=j_dists, cutoff_dist=cutoff_dist,
                      tau=state.get('tau'), alpha=state.get('alpha'))
-    return v, r, d
+    # Hand the (fat) encodings to the MLP in its compute dtype: halves
+    # the HBM traffic of the concat/merge/backward on these tensors.
+    cast = lambda x: None if x is None else x.astype(rc.nerf.compute_dtype)
+    return cast(v), cast(r), cast(d)
 
 
 def _run_network(rc: RayCastConfig, net_params, v, r, d, cam_idxs):
@@ -190,7 +194,16 @@ def render_rays(rc: RayCastConfig,
     if rc.ray_noise_std > 0. and k_ray1 is not None:
         pts = pts + jax.random.normal(k_ray1, pts.shape) * rc.ray_noise_std
 
-    v, r, d = encode_inputs(rc, params, pts, rays_o, rays_d, pose, state)
+    def encode_fn(params, pts):
+        return encode_inputs(rc, params, pts, rays_o, rays_d, pose, state)
+
+    if rc.remat:
+        # Recompute the (huge) per-point encodings in the backward pass
+        # instead of spilling them to HBM; the MLP matmuls are saved.
+        encode_fn = jax.checkpoint(
+            encode_fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+
+    v, r, d = encode_fn(params, pts)
     raw = _run_network(rc, params['coarse'], v, r, d, cam_idxs)
 
     noise = fixed.get('coarse_noise')
@@ -213,8 +226,7 @@ def render_rays(rc: RayCastConfig,
             pts_is = pts_is + jax.random.normal(k_ray2, pts_is.shape) \
                 * rc.ray_noise_std
 
-        v_is, r_is, d_is = encode_inputs(rc, params, pts_is, rays_o, rays_d,
-                                         pose, state)
+        v_is, r_is, d_is = encode_fn(params, pts_is)
         fine_params = params['coarse'] if rc.single_net else params['fine']
         if not rc.single_net:
             v_m = _merge_encoded(v, v_is, sorted_idxs)

@@ -138,11 +138,10 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, N_samples: int,
             u = jax.random.uniform(rng, cdf.shape[:-1] + (N_samples,),
                                    dtype=cdf.dtype)
 
-    # batched searchsorted(cdf[r], u[r], side='right') via vmap over rays
-    flat_cdf = cdf.reshape(-1, cdf.shape[-1])
-    flat_u = u.reshape(-1, u.shape[-1])
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side='right'))(
-        flat_cdf, flat_u).reshape(u.shape)
+    # batched searchsorted(cdf[r], u[r], side='right') as a comparison
+    # count: M is tiny (N_samples+1), so the (R, N, M) compare + reduce
+    # vectorizes onto the VPU far better than a per-ray binary search.
+    inds = jnp.sum(cdf[..., None, :] <= u[..., :, None], axis=-1)
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, cdf.shape[-1] - 1)
     cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
@@ -187,7 +186,26 @@ def isample_from_lineseg(z_vals: jnp.ndarray, weights: jnp.ndarray,
         dist_w = weights[..., 1:-1]
     z_samples = sample_pdf(z_mid, dist_w, N_importance, det=det, rng=rng, u=u)
     z_cat = jnp.concatenate([z_vals, z_samples], -1)
-    sorted_idxs = jnp.argsort(z_cat, axis=-1)
+    # Sorted union via rank counting instead of a general sort:
+    # z_vals is already sorted, so each element's final position is its
+    # own index plus the count of elements from the other list before it
+    # (ties: coarse-before-fine, matching argsort's stable order on the
+    # concatenation).  O(S*I) compares beat lowering a length-(S+I) sort.
+    S = z_vals.shape[-1]
+    rank_coarse = jnp.arange(S) + jnp.sum(
+        z_samples[..., None, :] < z_vals[..., :, None], axis=-1)
+    order_samples = jnp.argsort(z_samples, axis=-1)
+    rank_in_samples = jnp.argsort(order_samples, axis=-1)
+    rank_fine = rank_in_samples + jnp.sum(
+        z_vals[..., None, :] <= z_samples[..., :, None], axis=-1)
+    ranks = jnp.concatenate([rank_coarse, rank_fine], axis=-1)
+    # sorted_idxs[pos] = index into z_cat  (inverse permutation of ranks,
+    # built by scatter rather than another sort)
+    total = ranks.shape[-1]
+    sorted_idxs = jnp.put_along_axis(
+        jnp.zeros_like(ranks), ranks,
+        jnp.broadcast_to(jnp.arange(total), ranks.shape),
+        axis=-1, inplace=False)
     z_merged = jnp.take_along_axis(z_cat, sorted_idxs, axis=-1)
     return z_merged, z_samples, sorted_idxs
 

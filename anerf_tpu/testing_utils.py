@@ -39,15 +39,20 @@ def surreal_config(**overrides) -> Config:
 
 
 def synthetic_pose(n_frames: int = 9, seed: int = 0, ext_scale: float = 0.001):
+    from .ops.fk import get_smpl_l2ws_np
     rng = np.random.RandomState(seed)
     rest = (SMPL_REST_POSE * ext_scale * 2.2).astype(np.float32)
     bones = rng.normal(scale=0.15, size=(n_frames, 24, 3)).astype(np.float32)
     pelvis = rng.normal(scale=0.05, size=(n_frames, 3)).astype(np.float32)
-    kps, skts, l2ws, rots = fk(jnp.asarray(bones), jnp.asarray(pelvis),
-                               jnp.asarray(rest))
-    cyls = get_kp_bounding_cylinder(np.asarray(kps), ext_scale=ext_scale,
+    # host-side FK: keeps scene building off the device (fast startup
+    # when device dispatch is expensive, e.g. remote TPU tunnels)
+    l2ws = np.stack([get_smpl_l2ws_np(b, rest) for b in bones])
+    l2ws[..., :3, 3] += pelvis[:, None]
+    kps = l2ws[..., :3, 3].astype(np.float32)
+    skts = np.linalg.inv(l2ws).astype(np.float32)
+    cyls = get_kp_bounding_cylinder(kps, ext_scale=ext_scale,
                                     head='-y').astype(np.float32)
-    return rest, bones, pelvis, np.asarray(kps), np.asarray(skts), cyls
+    return rest, bones, pelvis, kps, skts, cyls
 
 
 def synthetic_batch(n_rays: int, n_frames: int, kps, skts, bones, cyls,

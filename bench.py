@@ -17,6 +17,15 @@ REFERENCE_ANCHOR_RAYS_PER_SEC = 30_000.0
 
 def main():
     import jax
+    # persistent compile cache: repeated bench runs (and the driver's)
+    # skip the expensive remote compile entirely
+    try:
+        jax.config.update('jax_compilation_cache_dir',
+                          '/root/repo/.jax_cache')
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+    except Exception:
+        pass
     from anerf_tpu import testing_utils as T
 
     n_rays = 2048
