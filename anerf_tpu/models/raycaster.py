@@ -229,10 +229,17 @@ def render_rays(rc: RayCastConfig,
         v_is, r_is, d_is = encode_fn(params, pts_is)
         fine_params = params['coarse'] if rc.single_net else params['fine']
         if not rc.single_net:
-            v_m = _merge_encoded(v, v_is, sorted_idxs)
-            r_m = _merge_encoded(r, r_is, sorted_idxs)
-            d_m = _merge_encoded(d, d_is, sorted_idxs)
-            raw = _run_network(rc, fine_params, v_m, r_m, d_m, cam_idxs)
+            # The MLP is pointwise across samples, so evaluate the fine
+            # net on the UNSORTED [coarse; new] concatenation and gather
+            # only the (N_rays, S, 4) raw output into depth order —
+            # identical math to the reference's sort-encodings-then-run
+            # (raycasters.py:456-461) at a fraction of the gather bytes.
+            cat = lambda a, b: (None if a is None else
+                                jnp.concatenate([a, b], axis=1))
+            raw_all = _run_network(rc, fine_params, cat(v, v_is),
+                                   cat(r, r_is), cat(d, d_is), cam_idxs)
+            raw = jnp.take_along_axis(raw_all, sorted_idxs[..., None],
+                                      axis=1)
         else:
             raw_is = _run_network(rc, fine_params, v_is, r_is, d_is, cam_idxs)
             raw = _merge_encoded(raw, raw_is, sorted_idxs)
