@@ -89,8 +89,15 @@ def build_raycast_config(cfg: Config,
                        else jnp.float32),
     )
 
+    mlp_backend = cfg.mlp_backend
+    if mlp_backend == 'auto':
+        from ..ops.pallas_mlp import _is_tpu_backend, auto_worthwhile
+        mlp_backend = ('pallas' if _is_tpu_backend() and auto_worthwhile(nerf)
+                       else 'xla')
+
     return RayCastConfig(
         nerf=nerf,
+        mlp_backend=mlp_backend,
         kp_embed=kp_embed,
         bone_embed=bone_embed,
         view_embed=view_embed,

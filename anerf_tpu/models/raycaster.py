@@ -52,6 +52,10 @@ class RayCastConfig:
     view_type: str = 'relray'
     bone_type: str = 'reldir'
     remat: bool = True   # recompute encode+MLP in backward (HBM saver)
+    # 'pallas': fused VMEM-resident MLP kernel (ops/pallas_mlp.py) — the
+    # training-path winner (fwd+bwd, weight grads accumulate on-chip);
+    # 'xla' wins for fwd-only eval, so eval_variant() switches back.
+    mlp_backend: str = 'xla'
 
     def density_fn(self):
         return compositing.get_density_fn(self.density_type,
@@ -59,9 +63,9 @@ class RayCastConfig:
 
     def eval_variant(self) -> 'RayCastConfig':
         """Test-time settings (reference raycasters.py:170-178):
-        no perturbation, no noise."""
+        no perturbation, no noise; XLA MLP (faster fwd-only)."""
         return dataclasses.replace(self, perturb=0., raw_noise_std=0.,
-                                   ray_noise_std=0.)
+                                   ray_noise_std=0., mlp_backend='xla')
 
 
 def encode_inputs(rc: RayCastConfig,
@@ -127,6 +131,17 @@ def _run_network(rc: RayCastConfig, net_params, v, r, d, cam_idxs):
     fc_idx = None
     if rc.nerf.use_framecode and cam_idxs is not None:
         fc_idx = jnp.broadcast_to(cam_idxs[:, None], x_pts.shape[:2])
+
+    if (rc.mlp_backend == 'pallas' and rc.use_viewdirs
+            and x_views is not None):
+        from ..ops import pallas_mlp
+        from .nerf_mlp import framecode_lookup
+        if fc_idx is not None:
+            codes = framecode_lookup(net_params['framecodes'], fc_idx)
+            x_views = jnp.concatenate(
+                [x_views, codes.astype(x_views.dtype)], -1)
+        return pallas_mlp.nerf_mlp_pallas(net_params, rc.nerf,
+                                          x_pts, x_views)
     return nerf_forward(net_params, rc.nerf, x_pts, x_views, fc_idx)
 
 

@@ -155,6 +155,7 @@ class Config:
     # --- TPU-native additions (absent in the reference) ---
     seed: int = 0
     compute_dtype: str = 'float32'   # 'bfloat16' for MXU-friendly matmuls
+    mlp_backend: str = 'auto'        # 'auto' | 'xla' | 'pallas' (fused kernel)
     data_axis: str = 'data'          # mesh axis name for ray sharding
     n_devices: Optional[int] = None  # None = all visible devices
 
