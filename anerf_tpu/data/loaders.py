@@ -28,6 +28,8 @@ DATASET_CATALOG = {
                      f'{subject}_processed_h5py.h5'),
     'zju': lambda data_path, subject:
         os.path.join(data_path, 'zju_mocap', f'{subject}_train_h5py.h5'),
+    'zju_h36m': lambda data_path, subject:
+        os.path.join(data_path, 'zju_h36m', f'{subject}_train_h5py.h5'),
     'synthetic': lambda data_path, subject: data_path,  # direct h5 path
 }
 
@@ -161,6 +163,64 @@ class H36MDataset(PoseRefinedDataset):
         return kp3d, bones, skts, cyls
 
 
+class ZJUMocapDataset(BaseH5Dataset):
+    """ZJU-MoCap: multi-camera capture where image->pose and
+    image->camera mappings come from lookup arrays stored in the h5
+    (``kp_idxs`` / ``img_pose_indices``), since several cameras see the
+    same pose (reference load_zju.py:536-588)."""
+
+    render_skip = 63
+    N_render = 15
+
+    def init_meta(self):
+        if self.split == 'test':
+            self.h5_path = self.h5_path.replace('train', 'test')
+        super().init_meta()
+        with h5py.File(self.h5_path, 'r') as ds:
+            self.kp_idxs_lut = ds['kp_idxs'][:]
+            self.cam_idxs_lut = ds['img_pose_indices'][:]
+        if self.split == 'test':
+            n_unique_cam = len(np.unique(self.cam_idxs_lut))
+            self.kp_idxs_lut = self.kp_idxs_lut // n_unique_cam
+
+    def get_kp_idx(self, idx, q_idx):
+        return self.kp_idxs_lut[idx], q_idx
+
+    def get_cam_idx(self, idx, q_idx):
+        return self.cam_idxs_lut[idx], q_idx
+
+    def _get_subset_idxs(self, render=False):
+        # kp/cam indices run over *images* (then through the LUTs), not
+        # over the pose/camera banks like the base class assumes
+        # (reference load_zju.py:580-600)
+        if self._idx_map is not None:
+            i_idxs = _k = _c = self._idx_map
+            _kq = _cq = np.arange(len(self._idx_map))
+        else:
+            i_idxs = np.arange(self._N_total_img)
+            _k = _kq = np.arange(self._N_total_img)
+            _c = _cq = np.arange(self._N_total_img)
+        k_idxs, kq_idxs = self.get_kp_idx(_k, _kq)
+        c_idxs, cq_idxs = self.get_cam_idx(_c, _cq)
+        return k_idxs, c_idxs, i_idxs, kq_idxs, cq_idxs
+
+
+class ZJUH36MDataset(ZJUMocapDataset):
+    """H36M packaged in the ZJU layout, last-30-frames validation split
+    (reference load_zju.py:602-644)."""
+
+    render_skip = 1
+    N_render = 30
+
+    def init_meta(self):
+        super().init_meta()
+        idxs = np.arange(len(self.kp_idxs_lut))
+        if self.split == 'train':
+            self._idx_map = idxs[:-30]
+        elif self.split == 'val':
+            self._idx_map = idxs[-30:]
+
+
 class SyntheticDataset(BaseH5Dataset):
     """A plain h5 dataset at an explicit path (tests, custom data)."""
     render_skip = 1
@@ -244,6 +304,10 @@ def get_dataset(cfg, data_path: Optional[str] = None):
             shared_s = dict(shared, split='train')
             d = SurrealDataset(path, subject=subj, N_cams=cfg.N_cams,
                                N_rand_kps=cfg.rand_train_kps, **shared_s)
+        elif dtype == 'zju':
+            d = ZJUMocapDataset(path, subject=subj, **shared)
+        elif dtype == 'zju_h36m':
+            d = ZJUH36MDataset(path, subject=subj, **shared)
         elif dtype == 'synthetic':
             d = SyntheticDataset(path, subject=subj, **shared)
         else:
