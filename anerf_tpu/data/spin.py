@@ -20,6 +20,10 @@ from ..ops.cylinder import get_kp_bounding_cylinder, swap_mat
 from ..ops.fk import get_smpl_l2ws_np
 from ..skeleton import SMPL_REST_POSE, SMPLSkeleton, Skeleton
 
+# the reference datasets store poses at SURREAL scale; SPIN estimates are
+# rescaled by this factor before ext_scale (process_spin.py:190)
+DATASET_EXT_SCALE = 0.25 / 0.00035
+
 
 def calculate_bone_length(pose: np.ndarray,
                           skel: Skeleton = SMPLSkeleton) -> np.ndarray:
