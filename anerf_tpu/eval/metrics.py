@@ -67,10 +67,27 @@ def evaluate_images(preds: np.ndarray, gts: np.ndarray,
                     bboxes: Optional[Sequence] = None
                     ) -> Dict[str, np.ndarray]:
     """Box-cropped PSNR/SSIM + fg-masked PSNR per image
-    (reference run_render.py:883-967)."""
+    (reference run_render.py:883-967).
+
+    Renders produced at a reduced resolution (``render_factor``) are
+    bilinearly upsampled to the GT resolution before scoring, like the
+    reference (evaluation_helpers.py:309-313); bounding boxes (given in
+    render coordinates) are scaled accordingly.
+    """
     psnrs, ssims, fg_psnrs = [], [], []
     for i in range(len(preds)):
         p, g = preds[i], gts[i]
+        if p.shape[:2] != g.shape[:2]:
+            from ..utils.image import bilinear_resize
+            sy = g.shape[0] / p.shape[0]
+            sx = g.shape[1] / p.shape[1]
+            p = bilinear_resize(np.asarray(p, np.float32),
+                                g.shape[0], g.shape[1])
+            if bboxes is not None:
+                tl, br = bboxes[i]
+                bboxes = list(bboxes)
+                bboxes[i] = (np.array([tl[0] * sx, tl[1] * sy], np.int64),
+                             np.array([br[0] * sx, br[1] * sy], np.int64))
         if bboxes is not None:
             tl, br = bboxes[i]
             p = p[tl[1]:br[1], tl[0]:br[0]]

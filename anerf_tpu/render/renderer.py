@@ -22,6 +22,7 @@ from ..models.raycaster import RayCastConfig, render_rays
 from ..ops.cylinder import (cylinder_to_box_2d, get_kp_bounding_cylinder,
                             nerf_c2w_to_extrinsic)
 from ..ops.rays import get_rays_np
+from ..utils.image import bilinear_resize
 
 
 def kp_to_valid_rays(c2ws, H, W, focals, kps=None, cylinder_params=None,
@@ -156,8 +157,14 @@ class ImageRenderer:
 
     def render_path(self, render_data: Dict[str, Any],
                     ext_scale: float = 0.001,
+                    render_factor: int = 0,
                     verbose: bool = False) -> Dict[str, np.ndarray]:
-        """Render a sequence of poses (reference run_nerf.py:27-145)."""
+        """Render a sequence of poses (reference run_nerf.py:27-145).
+
+        ``render_factor`` > 0 renders at (H//f, W//f) with focal/centers
+        scaled accordingly for fast validation renders (reference
+        run_nerf.py:37-48); backgrounds are bilinearly resized to match.
+        """
         H, W, focals = render_data['hwf']
         c2ws = render_data['c2ws']
         kps = render_data['kp3d']
@@ -175,15 +182,23 @@ class ImageRenderer:
             h = int(H if np.isscalar(H) else H[i])
             w = int(W if np.isscalar(W) else W[i])
             f = focals if np.isscalar(focals) else focals[i]
+            center = None if centers is None else np.asarray(centers[i])
+            if render_factor:
+                h, w = h // render_factor, w // render_factor
+                f = f / render_factor
+                if center is not None:
+                    center = center / render_factor
             kp_i = kps[i % len(kps)]
             bg = None
             if bgs is not None:
                 bg = bgs[bg_idxs[i] if bg_idxs is not None else 0]
+                if bg.shape[:2] != (h, w):
+                    bg = bilinear_resize(np.asarray(bg, np.float32), h, w)
             out = self.render_image(
                 h, w, f, c2ws[i], kp_i, skts[i % len(skts)],
                 bones[i % len(bones)],
                 cyl=None if cyls is None else cyls[i % len(cyls)],
-                center=None if centers is None else centers[i],
+                center=center,
                 cam_idx=(int(cam_idxs[i]) if cam_idxs is not None else -1),
                 bg=bg, ext_scale=ext_scale)
             rgbs.append(out['rgb'])

@@ -113,6 +113,91 @@ def kp_reg_loss(bones: jnp.ndarray, rots: jnp.ndarray,
     return hinged.sum(-1).mean() * coef
 
 
+def kp_reg_loss_legacy(preds: Dict[str, jnp.ndarray],
+                       regs: Dict[str, jnp.ndarray],
+                       opt_pose_type: str = 'B',
+                       opt_pose_tol: float = 0.,
+                       opt_pose_coef: float = 1.0,
+                       use_rot6d: bool = False,
+                       temp_coef: float = 0.,
+                       use_temp_vel: bool = False,
+                       ext_scale: float = 0.001,
+                       gt_kps: Optional[jnp.ndarray] = None,
+                       root_id: int = 0) -> Dict[str, jnp.ndarray]:
+    """The reference's richer pose-regularization family
+    (``get_kp_reg_loss``, pose_opt.py:124-201), used by the FlipFlop
+    scheduler.  ``opt_pose_type`` grammar:
+
+      * ``B…``  — bone-space loss vs anchor bones (rot6d-projected when
+        ``use_rot6d``), plus a pelvis-position term;
+      * ``RD…`` — rotation-matrix loss vs anchor rotations;
+      * ``…L1`` anywhere — L1 instead of squared error;
+      * ``…E``  — coefficient NOT on the global sum: only non-root bone
+        terms are kept (pelvis term dropped).
+
+    ``preds``/``regs`` need keys {'kps','bones','rots'}; ``regs`` may add
+    {'temp_bones','temp_kps','temp_rots','temp_valid','temp_valid_next'}
+    (prev/next stacked on dim 0) for the temporal terms.
+    """
+    kps, bones, rots = preds['kps'], preds['bones'], preds['rots']
+    reg_kps, reg_bones, reg_rots = regs['kps'], regs['bones'], regs['rots']
+
+    loss_fn = ((lambda a, b: jnp.abs(a - b)) if 'L1' in opt_pose_type
+               else (lambda a, b: (a - b) ** 2))
+    coef_on_global = 'E' not in opt_pose_type
+
+    if use_rot6d:
+        reg_bones = rot_to_rot6d(reg_rots)
+
+    if opt_pose_type.startswith('RD'):
+        # (N, J, 3, 3): hinge+sum over the last axis only, like the
+        # reference (keeps the extra row axis in the final mean)
+        bone_loss = loss_fn(rots, reg_rots)
+    elif opt_pose_type.startswith('B'):
+        bone_loss = loss_fn(reg_bones, bones)
+    else:
+        raise NotImplementedError(
+            f'opt_pose_type {opt_pose_type}: regularization target '
+            'un-specified')
+    pelv_loss = loss_fn(reg_kps[:, root_id], kps[:, root_id]).sum(-1)
+
+    # hinge: 0 below tol, loss - tol above (pose_opt.py:156-160)
+    mask = (bone_loss > opt_pose_tol).astype(bone_loss.dtype)
+    bone_loss = ((bone_loss - opt_pose_tol) * mask).sum(-1)
+
+    if coef_on_global:
+        kp_loss = (bone_loss.mean() + pelv_loss.mean()) * opt_pose_coef
+    else:
+        kp_loss = bone_loss[:, root_id + 1:].mean() * opt_pose_coef
+
+    temp_loss = jnp.asarray(0., kp_loss.dtype)
+    if temp_coef > 0. and 'temp_bones' in regs:
+        temp_valid = regs['temp_valid']
+        temp_bones = (rot_to_rot6d(regs['temp_rots']) if use_rot6d
+                      else regs['temp_bones'])
+        prev_bones, next_bones = jnp.split(temp_bones, 2, axis=0)
+        prev_kps, next_kps = jnp.split(regs['temp_kps'], 2, axis=0)
+        if not use_temp_vel:
+            t = loss_fn(prev_bones, bones).sum(-1)
+            temp_loss = (t * temp_valid[..., None]).mean() * temp_coef
+        else:
+            valid = (temp_valid + regs['temp_valid_next']) // 2
+            ang_vel = ((bones - prev_bones) -
+                       (next_bones - bones)) ** 2
+            joint_vel = ((kps - prev_kps) - (next_kps - kps)) ** 2
+            t = ang_vel.sum(-1) + joint_vel.sum(-1)
+            temp_loss = (t * valid[..., None]).mean() * temp_coef
+        kp_loss = kp_loss + temp_loss
+
+    sg = jax.lax.stop_gradient
+    mpjpc = jnp.sqrt(((reg_kps - sg(kps)) ** 2).sum(-1)).mean() / ext_scale
+    out = {'kp_loss': kp_loss, 'temp_loss': temp_loss, 'mpjpc': mpjpc}
+    if gt_kps is not None:
+        out['kp_gt_dist'] = jnp.linalg.norm(
+            sg(kps) - gt_kps, axis=-1).mean() / ext_scale
+    return out
+
+
 def temporal_loss(bones: jnp.ndarray, kps: jnp.ndarray,
                   prev_bones: jnp.ndarray, prev_kps: jnp.ndarray,
                   next_bones: jnp.ndarray, next_kps: jnp.ndarray,

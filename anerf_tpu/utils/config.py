@@ -36,6 +36,7 @@ class Config:
     single_net: bool = False
     coarse_weight: float = 1.0
     use_temp_loss: bool = False
+    use_temp_vel: bool = False
     temp_coef: float = 0.05
     chunk: int = 1024 * 32
     netchunk: int = 1024 * 64

@@ -50,6 +50,9 @@ def parse_args(argv):
     p.add_argument('--dataset_path', type=str, default=None,
                    help='override the h5 path (e.g. synthetic data)')
     p.add_argument('--chunk', type=int, default=None)
+    p.add_argument('--render_factor', type=int, default=0,
+                   help='downsample factor for fast renders '
+                        '(reference run_nerf.py:37-48)')
     return p.parse_args(argv)
 
 
@@ -209,6 +212,7 @@ def main(argv):
         render_data['hwf'] = (np.full(n, Hs), np.full(n, Ws),
                               np.asarray(render_data.get('focals', f0)))
     out = renderer.render_path(render_data, ext_scale=cfg.ext_scale,
+                               render_factor=args.render_factor,
                                verbose=True)
     save_images(outdir, out['rgbs'])
     save_video(os.path.join(outdir, f'{args.render_type}.mp4'),

@@ -128,7 +128,8 @@ def train(cfg):
         if i % cfg.i_testset == 0 and render_data is not None:
             renderer.params = state['params']
             renderer.state = embed_state(cfg, rc, i)
-            out = renderer.render_path(render_data, ext_scale=cfg.ext_scale)
+            out = renderer.render_path(render_data, ext_scale=cfg.ext_scale,
+                                       render_factor=cfg.render_factor)
             logger.log_video(i, 'Val/RGB', out['rgbs'])
             if render_data.get('imgs') is not None:
                 m = evaluate_images(out['rgbs'], render_data['imgs'],
