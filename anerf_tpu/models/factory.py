@@ -98,6 +98,7 @@ def build_raycast_config(cfg: Config,
     return RayCastConfig(
         nerf=nerf,
         mlp_backend=mlp_backend,
+        remat=cfg.remat,
         kp_embed=kp_embed,
         bone_embed=bone_embed,
         view_embed=view_embed,

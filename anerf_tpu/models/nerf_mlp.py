@@ -124,12 +124,16 @@ def framecode_lerp(codes: jnp.ndarray, idx_a, idx_b, t) -> jnp.ndarray:
 def nerf_forward(params, cfg: NeRFConfig,
                  x_pts: jnp.ndarray,
                  x_views: Optional[jnp.ndarray] = None,
-                 framecode_idx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 framecode_idx: Optional[jnp.ndarray] = None,
+                 codes: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Full forward: (..., dnet_input), (..., input_ch_views) -> (..., 4).
 
     Matches reference ``NeRF.forward`` (nerf.py:133-148) with the
     framecode index passed as a separate integer array instead of a
-    float channel riding on the view encoding.
+    float channel riding on the view encoding.  Callers that already
+    hold the looked-up per-point codes can pass ``codes`` directly —
+    e.g. a per-ray lookup broadcast over samples, whose backward is a
+    cheap reduce + tiny scatter instead of a per-point scatter-add.
     """
     dt = cfg.compute_dtype
     h = forward_density(params, cfg, x_pts)
@@ -139,8 +143,9 @@ def nerf_forward(params, cfg: NeRFConfig,
     alpha = _dense(params['alpha_linear'], h, dt)
     feature = _dense(params['feature_linear'], h, dt)
     if cfg.use_framecode:
-        codes = framecode_lookup(params['framecodes'], framecode_idx)
-        x_views = jnp.concatenate([x_views, codes], -1)
+        if codes is None:
+            codes = framecode_lookup(params['framecodes'], framecode_idx)
+        x_views = jnp.concatenate([x_views, codes.astype(x_views.dtype)], -1)
     hv = jnp.concatenate([feature, x_views], -1)
     hv = jax.nn.relu(_dense(params['views_linear'], hv, dt))
     rgb = _dense(params['rgb_linear'], hv, dt)

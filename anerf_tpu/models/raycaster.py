@@ -121,28 +121,34 @@ def encode_inputs(rc: RayCastConfig,
 
 
 def _run_network(rc: RayCastConfig, net_params, v, r, d, cam_idxs):
-    """Concatenate encodings and run the MLP (reference
-    raycasters.py:557-577 + nerf.py:133-148), keeping (R, S) structure."""
-    parts = [v]
-    if r is not None:
-        parts.append(r)
-    x_pts = jnp.concatenate(parts, axis=-1)
-    x_views = d
-    fc_idx = None
-    if rc.nerf.use_framecode and cam_idxs is not None:
-        fc_idx = jnp.broadcast_to(cam_idxs[:, None], x_pts.shape[:2])
+    """Run the MLP on the encodings (reference raycasters.py:557-577 +
+    nerf.py:133-148), keeping (R, S) structure.
 
-    if (rc.mlp_backend == 'pallas' and rc.use_viewdirs
-            and x_views is not None):
-        from ..ops import pallas_mlp
+    On the Pallas backend the encodings are handed to the kernel as
+    separate part arrays — the [v|r] and [d|framecode] concatenations
+    the reference materializes are folded into split matmuls in VMEM,
+    removing ~700 MB/step of HBM concat/slice traffic at flagship size.
+    """
+    codes = None
+    if rc.nerf.use_framecode and cam_idxs is not None:
+        # per-RAY lookup broadcast over samples: the backward collapses
+        # to a sum over the sample axis + an N_rays-row scatter, vs the
+        # per-point scatter-add a (R*S)-indexed lookup would cost
         from .nerf_mlp import framecode_lookup
-        if fc_idx is not None:
-            codes = framecode_lookup(net_params['framecodes'], fc_idx)
-            x_views = jnp.concatenate(
-                [x_views, codes.astype(x_views.dtype)], -1)
+        codes_ray = framecode_lookup(net_params['framecodes'], cam_idxs)
+        codes = jnp.broadcast_to(codes_ray[:, None],
+                                 v.shape[:2] + codes_ray.shape[-1:])
+
+    if rc.mlp_backend == 'pallas' and rc.use_viewdirs and d is not None:
+        from ..ops import pallas_mlp
+        xv_parts = [d]
+        if codes is not None:
+            xv_parts.append(codes.astype(d.dtype))
+        x_parts = [v] if r is None else [v, r]
         return pallas_mlp.nerf_mlp_pallas(net_params, rc.nerf,
-                                          x_pts, x_views)
-    return nerf_forward(net_params, rc.nerf, x_pts, x_views, fc_idx)
+                                          x_parts, xv_parts)
+    x_pts = v if r is None else jnp.concatenate([v, r], axis=-1)
+    return nerf_forward(net_params, rc.nerf, x_pts, d, codes=codes)
 
 
 def _merge_encoded(x_coarse, x_fine, sorted_idxs):
@@ -156,6 +162,20 @@ def _merge_encoded(x_coarse, x_fine, sorted_idxs):
     while idx.ndim < cat.ndim:
         idx = idx[..., None]
     return jnp.take_along_axis(cat, idx, axis=1)
+
+
+def _permute_rows(x, sorted_idxs):
+    """Apply the per-ray sample permutation to thin per-sample rows.
+
+    ``take_along_axis`` on (R, S, 4) lowers to S-row gathers of 4-float
+    rows — far below the 128-lane width, ~2ms/step at flagship size.
+    A one-hot batched matmul keeps the permutation on the MXU instead
+    (f32, so the raw values pass through bit-exact: one-hot rows pick
+    a single addend, and XLA won't downcast f32 matmuls uninvited).
+    """
+    P = jax.nn.one_hot(sorted_idxs, x.shape[1], dtype=jnp.float32)
+    return jnp.matmul(jax.lax.stop_gradient(P), x.astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def render_rays(rc: RayCastConfig,
@@ -245,19 +265,21 @@ def render_rays(rc: RayCastConfig,
         fine_params = params['coarse'] if rc.single_net else params['fine']
         if not rc.single_net:
             # The MLP is pointwise across samples, so evaluate the fine
-            # net on the UNSORTED [coarse; new] concatenation and gather
-            # only the (N_rays, S, 4) raw output into depth order —
-            # identical math to the reference's sort-encodings-then-run
-            # (raycasters.py:456-461) at a fraction of the gather bytes.
-            cat = lambda a, b: (None if a is None else
-                                jnp.concatenate([a, b], axis=1))
-            raw_all = _run_network(rc, fine_params, cat(v, v_is),
-                                   cat(r, r_is), cat(d, d_is), cam_idxs)
-            raw = jnp.take_along_axis(raw_all, sorted_idxs[..., None],
-                                      axis=1)
+            # net on the coarse-point encodings (reused, uncopied) and
+            # the new-point encodings as TWO kernel calls, concatenate
+            # only the thin (N_rays, S, 4) raw outputs, and gather into
+            # depth order — identical math to the reference's
+            # sort-encodings-then-run (raycasters.py:456-461) without
+            # ever concatenating the fat encodings in HBM.
+            raw_c = _run_network(rc, fine_params, v, r, d, cam_idxs)
+            raw_n = _run_network(rc, fine_params, v_is, r_is, d_is,
+                                 cam_idxs)
+            raw_all = jnp.concatenate([raw_c, raw_n], axis=1)
+            raw = _permute_rows(raw_all, sorted_idxs)
         else:
             raw_is = _run_network(rc, fine_params, v_is, r_is, d_is, cam_idxs)
-            raw = _merge_encoded(raw, raw_is, sorted_idxs)
+            raw = _permute_rows(jnp.concatenate([raw, raw_is], axis=1),
+                                sorted_idxs)
 
         noise = fixed.get('fine_noise')
         if noise is None and rc.raw_noise_std > 0. and k_fnoise is not None:

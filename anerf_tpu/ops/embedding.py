@@ -142,6 +142,15 @@ def embed(inputs: jnp.ndarray,
         assert alpha is not None
         enc = enc * _schedule_w(cfg, alpha)
 
+    if enc.shape[:-2] != dists_e.shape[:-1]:
+        # x is constant along a broadcast axis of the window (e.g. view
+        # dirs: per-ray x vs per-sample dists).  Pin the small sin/cos
+        # array here so XLA multiplies the broadcast INTO it instead of
+        # fusing the transcendentals into the fat per-sample output
+        # (a 2-3 ms/step difference at flagship size).
+        enc = jax.lax.optimization_barrier(enc)
+        x = jax.lax.optimization_barrier(x)
+
     if cfg.include_input and cfg.cutoff_inputs:
         enc = jnp.concatenate([x[..., None, :], enc], axis=-2) * w
     elif cfg.include_input:

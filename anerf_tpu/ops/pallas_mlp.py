@@ -1,12 +1,20 @@
 """Fused Pallas-TPU kernel for the A-NeRF radiance MLP (fwd + bwd).
 
-Why: on TPU v5e the 8x256 MLP (reference core/networks/nerf.py:12-148)
-is HBM-bound under XLA — every layer round-trips an (N, 256) activation
+Why: on TPU the 8x256 MLP (reference core/networks/nerf.py:12-148) is
+HBM-bound under XLA — every layer round-trips an (N, 256) activation
 through HBM, and at N ~ 164k points that is ~170 MB per layer per
 direction, far above the chip's ridge point.  This kernel keeps the
 entire weight set (~1.9 MB bf16) resident in VMEM and streams point
 tiles through all layers on-chip, so HBM traffic collapses to the
 encoded inputs in and the 4-channel raw output out.
+
+The encoded inputs arrive as SEPARATE part arrays (kp-encoding,
+bone-encoding for the trunk; view-encoding, framecodes for the view
+branch) and are never concatenated in HBM: each trunk matmul that
+consumes "x" is split row-wise into one matmul per part (same math,
+summed in the f32 accumulator).  Profiling showed the XLA-level
+``concatenate``/``pad``/``slice`` traffic around a fat [v|r]/[d|codes]
+operand cost several ms/step at the flagship batch.
 
 The backward pass is a second Pallas kernel that recomputes the forward
 activations per tile in VMEM (flash-style) and accumulates all weight
@@ -39,13 +47,21 @@ class MLPStatic:
     """Hashable trace-time description of the MLP."""
     depth: int
     width: int
-    dnet: int            # x_pts feature width
-    xv: int              # x_views feature width (incl framecode channels)
-    half: int            # views-branch width (W // 2)
+    dparts: Tuple[int, ...]   # x_pts part widths (kp-enc, bone-enc, ...)
+    vparts: Tuple[int, ...]   # x_views part widths (view-enc, framecode)
+    half: int                 # views-branch width (W // 2)
     skips: Tuple[int, ...]
     tile: int = 512
     bwd_tile: int = 512
     interpret: bool = False
+
+    @property
+    def dnet(self) -> int:
+        return sum(self.dparts)
+
+    @property
+    def xv(self) -> int:
+        return sum(self.vparts)
 
     def has_x_part(self, i: int) -> bool:
         """Layer i consumes [x, h] when layer i-1 is a skip layer."""
@@ -59,22 +75,33 @@ def _is_tpu_backend() -> bool:
         return False
 
 
+def _split_rows(w, widths: Sequence[int]):
+    out, off = [], 0
+    for d in widths:
+        out.append(w[off:off + d])
+        off += d
+    return out
+
+
 def flatten_params(net_params: Dict[str, Any], st: MLPStatic) -> List[jnp.ndarray]:
     """Order the param dict into the kernel's fixed operand list.
 
     Weights are cast to bf16 (matmul operand dtype), biases stay f32 as
-    (1, dim) rows.  Skip-layer weights are split into the x-part (first
-    ``dnet`` rows — the input goes first in the reference's concat,
-    nerf.py:101) and the h-part.
+    (1, dim) rows.  Every weight that contracts against the (virtual)
+    concatenated input is split row-wise into per-part blocks; skip
+    layers additionally split into x-parts + h-part (the input goes
+    FIRST in the reference's concat, nerf.py:101).
     """
     flat: List[jnp.ndarray] = []
     b16 = lambda a: a.astype(jnp.bfloat16)
     row = lambda b: b.astype(jnp.float32).reshape(1, -1)
     for i, p in enumerate(net_params['pts_linears']):
         w = p['w']
-        if st.has_x_part(i):
+        if i == 0:
+            flat += [b16(x) for x in _split_rows(w, st.dparts)]
+        elif st.has_x_part(i):
             flat.append(b16(w[st.dnet:]))   # h-part
-            flat.append(b16(w[:st.dnet]))   # x-part
+            flat += [b16(x) for x in _split_rows(w[:st.dnet], st.dparts)]
         else:
             flat.append(b16(w))
         flat.append(row(p['b']))
@@ -84,7 +111,7 @@ def flatten_params(net_params: Dict[str, Any], st: MLPStatic) -> List[jnp.ndarra
     flat.append(row(net_params['feature_linear']['b']))
     wv = net_params['views_linear']['w']
     flat.append(b16(wv[:st.width]))         # feature-part (feature first)
-    flat.append(b16(wv[st.width:]))         # x_views-part
+    flat += [b16(x) for x in _split_rows(wv[st.width:], st.vparts)]
     flat.append(row(net_params['views_linear']['b']))
     flat.append(b16(net_params['rgb_linear']['w']))
     flat.append(row(net_params['rgb_linear']['b']))
@@ -107,20 +134,26 @@ def _dot_nt(g, w):
                                preferred_element_type=jnp.float32)
 
 
-def _forward_tile(st: MLPStatic, x, xv, wrefs):
+def _forward_tile(st: MLPStatic, xs, xvs, wrefs):
     """Shared fwd math on one tile; returns (acts, feat, hv, rgb, alpha).
 
     ``acts[i]`` is the bf16 post-ReLU activation of trunk layer i.
+    ``xs``/``xvs`` are the input part tiles (never concatenated).
     """
     it = iter(wrefs)
     nxt = lambda: next(it)[:]
-    h = x
+    h = None
     acts = []
     for i in range(st.depth):
-        wh = nxt()
-        pre = _dot(h, wh)
-        if st.has_x_part(i):
-            pre = pre + _dot(x, nxt())
+        if i == 0:
+            pre = _dot(xs[0], nxt())
+            for xk in xs[1:]:
+                pre = pre + _dot(xk, nxt())
+        else:
+            pre = _dot(h, nxt())
+            if st.has_x_part(i):
+                for xk in xs:
+                    pre = pre + _dot(xk, nxt())
         pre = pre + nxt()
         h = jnp.maximum(pre, 0.).astype(jnp.bfloat16)
         acts.append(h)
@@ -128,34 +161,43 @@ def _forward_tile(st: MLPStatic, x, xv, wrefs):
     alpha = _dot(h, wa) + ba
     wf, bf = nxt(), nxt()
     feat = (_dot(h, wf) + bf).astype(jnp.bfloat16)
-    wvf, wvv, bv = nxt(), nxt(), nxt()
-    hv_pre = _dot(feat, wvf) + _dot(xv, wvv) + bv
+    hv_pre = _dot(feat, nxt())
+    for xvk in xvs:
+        hv_pre = hv_pre + _dot(xvk, nxt())
+    hv_pre = hv_pre + nxt()
     hv = jnp.maximum(hv_pre, 0.).astype(jnp.bfloat16)
     wr, br = nxt(), nxt()
     rgb = _dot(hv, wr) + br
     return acts, feat, hv, rgb, alpha
 
 
-def _fwd_kernel(st: MLPStatic, x_ref, xv_ref, *rest):
-    wrefs, out_ref = rest[:-1], rest[-1]
-    _, _, _, rgb, alpha = _forward_tile(st, x_ref[:], xv_ref[:], wrefs)
+def _fwd_kernel(st: MLPStatic, *refs):
+    nx, nv = len(st.dparts), len(st.vparts)
+    xs = [r[:] for r in refs[:nx]]
+    xvs = [r[:] for r in refs[nx:nx + nv]]
+    wrefs, out_ref = refs[nx + nv:-1], refs[-1]
+    _, _, _, rgb, alpha = _forward_tile(st, xs, xvs, wrefs)
     out_ref[:] = jnp.concatenate([rgb, alpha], axis=-1)
 
 
-def _bwd_kernel(st: MLPStatic, x_ref, xv_ref, g_ref, *rest):
+def _bwd_kernel(st: MLPStatic, *refs):
+    nx, nv = len(st.dparts), len(st.vparts)
     n_w = _num_weight_operands(st)
-    wrefs = rest[:n_w]
-    dx_ref, dxv_ref = rest[n_w], rest[n_w + 1]
-    grefs = rest[n_w + 2:]
+    xs = [r[:] for r in refs[:nx]]
+    xvs = [r[:] for r in refs[nx:nx + nv]]
+    g_ref = refs[nx + nv]
+    wrefs = refs[nx + nv + 1:nx + nv + 1 + n_w]
+    orefs = refs[nx + nv + 1 + n_w:]
+    dx_refs = orefs[:nx]
+    dxv_refs = orefs[nx:nx + nv]
+    grefs = orefs[nx + nv:]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         for r in grefs:
             r[:] = jnp.zeros_like(r)
 
-    x = x_ref[:]
-    xv = xv_ref[:]
-    acts, feat, hv, _, _ = _forward_tile(st, x, xv, wrefs)
+    acts, feat, hv, _, _ = _forward_tile(st, xs, xvs, wrefs)
 
     g = g_ref[:]
     g_rgb = g[:, :3]
@@ -166,13 +208,19 @@ def _bwd_kernel(st: MLPStatic, x_ref, xv_ref, g_ref, *rest):
     it = iter(wrefs)
     trunk = []
     for i in range(st.depth):
-        wh = next(it)
-        wx = next(it) if st.has_x_part(i) else None
+        if i == 0:
+            whs = [next(it) for _ in st.dparts]
+            trunk.append((None, whs))
+        elif st.has_x_part(i):
+            wh = next(it)
+            wxs = [next(it) for _ in st.dparts]
+            trunk.append((wh, wxs))
+        else:
+            trunk.append((next(it), None))
         _b = next(it)
-        trunk.append((wh, wx))
-    wa, _, wf, _, wvf, wvv, _, wr, _ = (next(it), next(it), next(it),
-                                        next(it), next(it), next(it),
-                                        next(it), next(it), next(it))
+    wa, _, wf, _, wvf = next(it), next(it), next(it), next(it), next(it)
+    wvs = [next(it) for _ in st.vparts]
+    _bv, wr, _br = next(it), next(it), next(it)
     git = iter(grefs)
 
     def add(ref, val):
@@ -188,36 +236,46 @@ def _bwd_kernel(st: MLPStatic, x_ref, xv_ref, g_ref, *rest):
 
     # views branch
     g_feat = _dot_nt(g_hv_b, wvf[:])
-    g_xv = _dot_nt(g_hv_b, wvv[:])
-    dxv_ref[:] = g_xv.astype(dxv_ref.dtype)
+    for dxv_ref, wvk in zip(dxv_refs, wvs):
+        dxv_ref[:] = _dot_nt(g_hv_b, wvk[:]).astype(dxv_ref.dtype)
     g_feat_b = b16(g_feat)
     g_alpha_b = b16(g_alpha)
 
     # heads into the trunk
     g_a = _dot_nt(g_feat_b, wf[:]) + _dot_nt(g_alpha_b, wa[:])
 
-    # trunk, reversed
-    g_x_acc = jnp.zeros((x.shape[0], st.dnet), jnp.float32)
+    # trunk, reversed; per-part input-grad accumulators
+    g_x_acc = [jnp.zeros((xs[0].shape[0], d), jnp.float32)
+               for d in st.dparts]
     g_pres = []
     for i in reversed(range(st.depth)):
         g_pre = g_a * (f32(acts[i]) > 0)
         g_pre_b = b16(g_pre)
         g_pres.append((i, g_pre, g_pre_b))
-        wh, wx = trunk[i]
+        wh, wxs = trunk[i]
+        if i == 0:
+            for k, w0k in enumerate(wxs):
+                g_x_acc[k] = g_x_acc[k] + _dot_nt(g_pre_b, w0k[:])
+            break
         g_a = _dot_nt(g_pre_b, wh[:])
-        if wx is not None:
-            g_x_acc = g_x_acc + _dot_nt(g_pre_b, wx[:])
-    g_x_acc = g_x_acc + g_a
-    dx_ref[:] = g_x_acc.astype(dx_ref.dtype)
+        if wxs is not None:
+            for k, wxk in enumerate(wxs):
+                g_x_acc[k] = g_x_acc[k] + _dot_nt(g_pre_b, wxk[:])
+    for dx_ref, gx in zip(dx_refs, g_x_acc):
+        dx_ref[:] = gx.astype(dx_ref.dtype)
 
     # weight-gradient accumulation, in the flatten order
     g_pre_by_layer = {i: (gp, gpb) for i, gp, gpb in g_pres}
     for i in range(st.depth):
         g_pre, g_pre_b = g_pre_by_layer[i]
-        prev = acts[i - 1] if i > 0 else x
-        add(next(git), _dot_tn(prev, g_pre_b))           # dW_h
-        if st.has_x_part(i):
-            add(next(git), _dot_tn(x, g_pre_b))          # dW_x
+        if i == 0:
+            for xk in xs:
+                add(next(git), _dot_tn(xk, g_pre_b))     # dW0_k
+        else:
+            add(next(git), _dot_tn(acts[i - 1], g_pre_b))  # dW_h
+            if st.has_x_part(i):
+                for xk in xs:
+                    add(next(git), _dot_tn(xk, g_pre_b))   # dW_x_k
         add(next(git), jnp.sum(g_pre, axis=0, keepdims=True))  # db
     a_last = acts[-1]
     add(next(git), _dot_tn(a_last, g_alpha_b))           # dWa
@@ -225,33 +283,40 @@ def _bwd_kernel(st: MLPStatic, x_ref, xv_ref, g_ref, *rest):
     add(next(git), _dot_tn(a_last, g_feat_b))            # dWf
     add(next(git), jnp.sum(g_feat, axis=0, keepdims=True))
     add(next(git), _dot_tn(feat, g_hv_b))                # dWvf
-    add(next(git), _dot_tn(xv, g_hv_b))                  # dWvv
+    for xvk in xvs:
+        add(next(git), _dot_tn(xvk, g_hv_b))             # dWv_k
     add(next(git), jnp.sum(g_hv, axis=0, keepdims=True))
     add(next(git), _dot_tn(hv, g_rgb_b))                 # dWr
     add(next(git), jnp.sum(g_rgb, axis=0, keepdims=True))
 
 
 def _num_weight_operands(st: MLPStatic) -> int:
+    P = len(st.dparts)
     n = 0
     for i in range(st.depth):
-        n += 2 + (1 if st.has_x_part(i) else 0)
-    return n + 9  # wa ba wf bf wvf wvv bv wr br
+        if i == 0:
+            n += P + 1
+        else:
+            n += 2 + (P if st.has_x_part(i) else 0)
+    return n + 9 + len(st.vparts) - 1  # wa ba wf bf wvf wv_k... bv wr br
 
 
 def _weight_shapes(st: MLPStatic) -> List[Tuple[Tuple[int, int], Any]]:
     shapes: List[Tuple[Tuple[int, int], Any]] = []
-    W, D, H = st.width, st.dnet, st.half
-    in_dim = D
+    W, H = st.width, st.half
     for i in range(st.depth):
-        shapes.append(((in_dim, W), jnp.bfloat16))
-        if st.has_x_part(i):
-            shapes.append(((D, W), jnp.bfloat16))
+        if i == 0:
+            shapes += [((d, W), jnp.bfloat16) for d in st.dparts]
+        else:
+            shapes.append(((W, W), jnp.bfloat16))
+            if st.has_x_part(i):
+                shapes += [((d, W), jnp.bfloat16) for d in st.dparts]
         shapes.append(((1, W), jnp.float32))
-        in_dim = W
     shapes += [((W, 1), jnp.bfloat16), ((1, 1), jnp.float32),
                ((W, W), jnp.bfloat16), ((1, W), jnp.float32),
-               ((W, H), jnp.bfloat16), ((st.xv, H), jnp.bfloat16),
-               ((1, H), jnp.float32),
+               ((W, H), jnp.bfloat16)]
+    shapes += [((d, H), jnp.bfloat16) for d in st.vparts]
+    shapes += [((1, H), jnp.float32),
                ((H, 3), jnp.bfloat16), ((1, 3), jnp.float32)]
     return shapes
 
@@ -276,18 +341,19 @@ def _mlp_flops(st: MLPStatic, n: int) -> int:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_mlp(st: MLPStatic, x, xv, flat):
-    return _fused_mlp_fwd(st, x, xv, flat)[0]
+def _fused_mlp(st: MLPStatic, xs, xvs, flat):
+    return _fused_mlp_fwd(st, xs, xvs, flat)[0]
 
 
-def _fused_mlp_fwd(st, x, xv, flat):
-    n = x.shape[0]
+def _fused_mlp_fwd(st, xs, xvs, flat):
+    n = xs[0].shape[0]
     grid = (n // st.tile,)
     wspecs = [_const_spec(s) for s, _ in _weight_shapes(st)]
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, st),
         grid=grid,
-        in_specs=[_tile_spec(st.tile, st.dnet), _tile_spec(st.tile, st.xv)]
+        in_specs=[_tile_spec(st.tile, d) for d in st.dparts]
+        + [_tile_spec(st.tile, d) for d in st.vparts]
         + wspecs,
         out_specs=_tile_spec(st.tile, 4),
         out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
@@ -296,29 +362,31 @@ def _fused_mlp_fwd(st, x, xv, flat):
             bytes_accessed=n * (st.dnet + st.xv) * 2 + n * 16,
             transcendentals=0),
         interpret=st.interpret,
-    )(x, xv, *flat)
-    return out, (x, xv, flat)
+    )(*xs, *xvs, *flat)
+    return out, (xs, xvs, flat)
 
 
 def _fused_mlp_bwd(st, res, g):
-    x, xv, flat = res
-    n = x.shape[0]
+    xs, xvs, flat = res
+    n = xs[0].shape[0]
     t = st.bwd_tile
     grid = (n // t,)
     gshapes = _weight_shapes(st)
     wspecs = [_const_spec(s) for s, _ in gshapes]
     out_shape = (
-        [jax.ShapeDtypeStruct(x.shape, x.dtype),
-         jax.ShapeDtypeStruct(xv.shape, xv.dtype)]
+        [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in xs]
+        + [jax.ShapeDtypeStruct(xv.shape, xv.dtype) for xv in xvs]
         + [jax.ShapeDtypeStruct(s, jnp.float32) for s, _ in gshapes])
     out_specs = (
-        [_tile_spec(t, st.dnet), _tile_spec(t, st.xv)]
+        [_tile_spec(t, x.shape[-1]) for x in xs]
+        + [_tile_spec(t, xv.shape[-1]) for xv in xvs]
         + [_const_spec(s) for s, _ in gshapes])
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, st),
         grid=grid,
-        in_specs=[_tile_spec(t, st.dnet), _tile_spec(t, st.xv),
-                  _tile_spec(t, 4)]
+        in_specs=[_tile_spec(t, x.shape[-1]) for x in xs]
+        + [_tile_spec(t, xv.shape[-1]) for xv in xvs]
+        + [_tile_spec(t, 4)]
         + wspecs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -327,12 +395,14 @@ def _fused_mlp_bwd(st, res, g):
             bytes_accessed=2 * n * (st.dnet + st.xv) * 2 + n * 16,
             transcendentals=0),
         interpret=st.interpret,
-    )(x, xv, g.astype(jnp.float32), *flat)
-    dx, dxv = outs[0], outs[1]
+    )(*xs, *xvs, g.astype(jnp.float32), *flat)
+    nx, nv = len(xs), len(xvs)
+    dxs = tuple(outs[:nx])
+    dxvs = tuple(outs[nx:nx + nv])
     # cotangent dtypes must match the primals (the f32 master params sit
     # outside this op; the bf16 round-trip matches the XLA path's dot VJP)
-    dflat = [gr.astype(d) for gr, (_, d) in zip(outs[2:], gshapes)]
-    return dx, dxv, dflat
+    dflat = [gr.astype(d) for gr, (_, d) in zip(outs[nx + nv:], gshapes)]
+    return dxs, dxvs, dflat
 
 
 _fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
@@ -356,18 +426,26 @@ def auto_worthwhile(nerf_cfg) -> bool:
 
 
 def nerf_mlp_pallas(net_params: Dict[str, Any], nerf_cfg,
-                    x_pts: jnp.ndarray, x_views_full: jnp.ndarray,
+                    x_parts: Sequence[jnp.ndarray],
+                    xv_parts: Sequence[jnp.ndarray],
                     interpret: bool = None,
-                    tile: int = 512, bwd_tile: int = 512) -> jnp.ndarray:
-    """Fused-MLP forward: (..., dnet), (..., xv) -> (..., 4) raw.
+                    tile: int = 512, bwd_tile: int = 256) -> jnp.ndarray:
+    """Fused-MLP forward on part lists -> (..., 4) raw.
 
-    ``x_views_full`` must already include the framecode channels (the
-    per-frame code lookup happens outside the kernel so its gradient
-    flows through regular autodiff).  Pads the flattened point axis to
-    a tile multiple; padded rows never contribute to weight grads
-    because their output cotangents are zero.
+    ``x_parts`` are the trunk input parts (kp-encoding, bone-encoding)
+    and ``xv_parts`` the view-branch parts (view-encoding, framecodes);
+    parts are NEVER concatenated in HBM — the kernel splits each
+    consuming matmul row-wise instead.  Single arrays are accepted for
+    convenience.  The framecode lookup happens outside the kernel so its
+    gradient flows through regular autodiff.  Pads the flattened point
+    axis to a tile multiple; padded rows never contribute to weight
+    grads because their output cotangents are zero.
     """
-    batch_shape = x_pts.shape[:-1]
+    if not isinstance(x_parts, (list, tuple)):
+        x_parts = [x_parts]
+    if not isinstance(xv_parts, (list, tuple)):
+        xv_parts = [xv_parts]
+    batch_shape = x_parts[0].shape[:-1]
     n = int(np.prod(batch_shape))
     # shrink tiles for small inputs (tests, mesh slices)
     while tile > 128 and n < tile:
@@ -375,18 +453,21 @@ def nerf_mlp_pallas(net_params: Dict[str, Any], nerf_cfg,
     bwd_tile = min(bwd_tile, tile)
     st = MLPStatic(
         depth=nerf_cfg.depth, width=nerf_cfg.width,
-        dnet=x_pts.shape[-1], xv=x_views_full.shape[-1],
+        dparts=tuple(int(p.shape[-1]) for p in x_parts),
+        vparts=tuple(int(p.shape[-1]) for p in xv_parts),
         half=nerf_cfg.width // 2, skips=tuple(nerf_cfg.skips),
         tile=tile, bwd_tile=bwd_tile,
         interpret=(not _is_tpu_backend()) if interpret is None else interpret)
-    x = x_pts.reshape(n, st.dnet).astype(jnp.bfloat16)
-    xv = x_views_full.reshape(n, st.xv).astype(jnp.bfloat16)
     pad = (-n) % st.tile
-    if pad:
-        x = jnp.pad(x, ((0, pad), (0, 0)))
-        xv = jnp.pad(xv, ((0, pad), (0, 0)))
+
+    def prep(p):
+        p = p.reshape(n, p.shape[-1]).astype(jnp.bfloat16)
+        return jnp.pad(p, ((0, pad), (0, 0))) if pad else p
+
+    xs = tuple(prep(p) for p in x_parts)
+    xvs = tuple(prep(p) for p in xv_parts)
     flat = flatten_params(net_params, st)
-    raw = _fused_mlp(st, x, xv, flat)
+    raw = _fused_mlp(st, xs, xvs, flat)
     if pad:
         raw = raw[:n]
     return raw.reshape(*batch_shape, 4)

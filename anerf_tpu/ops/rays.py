@@ -206,7 +206,9 @@ def isample_from_lineseg(z_vals: jnp.ndarray, weights: jnp.ndarray,
         jnp.zeros_like(ranks), ranks,
         jnp.broadcast_to(jnp.arange(total), ranks.shape),
         axis=-1, inplace=False)
-    z_merged = jnp.take_along_axis(z_cat, sorted_idxs, axis=-1)
+    # the sorted union is by definition sort(z_cat) — a direct sort
+    # vectorizes far better than gathering 1-float rows by sorted_idxs
+    z_merged = jnp.sort(z_cat, axis=-1)
     return z_merged, z_samples, sorted_idxs
 
 

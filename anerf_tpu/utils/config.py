@@ -157,6 +157,7 @@ class Config:
     seed: int = 0
     compute_dtype: str = 'float32'   # 'bfloat16' for MXU-friendly matmuls
     mlp_backend: str = 'auto'        # 'auto' | 'xla' | 'pallas' (fused kernel)
+    remat: bool = True               # recompute encodings in backward
     data_axis: str = 'data'          # mesh axis name for ray sharding
     n_devices: Optional[int] = None  # None = all visible devices
 

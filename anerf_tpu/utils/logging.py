@@ -67,6 +67,100 @@ class MetricLogger:
         self.jsonl.close()
 
 
+def _read_varint(buf: bytes, pos: int):
+    out = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7f) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+
+
+def _proto_fields(buf: bytes):
+    """Minimal protobuf wire-format walk: yields (field_no, wire, value)."""
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wire == 1:
+            val, pos = buf[pos:pos + 8], pos + 8
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            val, pos = buf[pos:pos + ln], pos + ln
+        elif wire == 5:
+            val, pos = buf[pos:pos + 4], pos + 4
+        else:
+            return
+        yield field, wire, val
+
+
+def read_tb_scalars(path_or_dir: str) -> Dict[str, list]:
+    """Re-read scalar series from tensorboard event files.
+
+    Self-contained equivalent of the reference's EventAccumulator-based
+    readers (evaluation_helpers.py:28-67): parses the TFRecord framing
+    and the Event/Summary protos directly, so no TF install is needed.
+
+    Returns {tag: [(step, value), ...]} sorted by step.
+    """
+    import glob as _glob
+    import struct
+    paths = ([path_or_dir] if os.path.isfile(path_or_dir) else
+             sorted(_glob.glob(os.path.join(path_or_dir, 'events.*'))))
+    out: Dict[str, list] = {}
+    for p in paths:
+        with open(p, 'rb') as f:
+            data = f.read()
+        pos = 0
+        while pos + 12 <= len(data):
+            (length,) = struct.unpack('<Q', data[pos:pos + 8])
+            payload = data[pos + 12:pos + 12 + length]
+            pos += 12 + length + 4
+            step = 0
+            for field, wire, val in _proto_fields(payload):
+                if field == 2 and wire == 0:       # Event.step
+                    step = val
+                elif field == 5 and wire == 2:     # Event.summary
+                    for f2, w2, v2 in _proto_fields(val):
+                        if f2 != 1 or w2 != 2:     # Summary.value
+                            continue
+                        tag, sv = None, None
+                        for f3, w3, v3 in _proto_fields(v2):
+                            if f3 == 1 and w3 == 2:
+                                tag = v3.decode('utf-8', 'replace')
+                            elif f3 == 2 and w3 == 5:
+                                (sv,) = struct.unpack('<f', v3)
+                        if tag is not None and sv is not None:
+                            out.setdefault(tag, []).append((step, sv))
+    for tag in out:
+        out[tag].sort()
+    return out
+
+
+def read_tag_scalars(tags, path_or_dirs) -> Dict[str, list]:
+    """Reference-shaped accessor (evaluation_helpers.py:33-54): returns
+    {tag: [values...], tag_steps: [steps...], num_events: N} across one
+    or more logdirs."""
+    if not isinstance(path_or_dirs, (list, tuple)):
+        path_or_dirs = [path_or_dirs]
+    if not isinstance(tags, (list, tuple)):
+        tags = [tags]
+    ret = {t: [] for t in tags}
+    ret.update({t + '_steps': [] for t in tags})
+    ret['num_events'] = len(path_or_dirs)
+    for p in path_or_dirs:
+        series = read_tb_scalars(p)
+        for t in tags:
+            sv = series.get(t, [])
+            ret[t].append([v for _, v in sv])
+            ret[t + '_steps'].append([s for s, _ in sv])
+    return ret
+
+
 def save_video(path: str, frames: np.ndarray, fps: int = 14):
     """mp4/gif export via imageio (reference run_render.py:1030-1045)."""
     import imageio

@@ -31,7 +31,13 @@ def main():
     n_rays = 2048
     setup, state, batch, step_fn = T.build_flagship(
         n_rays=n_rays, opt_pose=True, compute_dtype='bfloat16')
-    step = jax.jit(step_fn, donate_argnums=(0,))
+
+    # fold the per-step RNG inside the compiled step (keyed off the step
+    # counter) — a host-side fold_in would dispatch a second tiny device
+    # program per iteration, which costs ~3ms/step over the tunnel
+    def stepper(state, batch, rng):
+        return step_fn(state, batch, jax.random.fold_in(rng, state['step']))
+    step = jax.jit(stepper, donate_argnums=(0,))
 
     rng = jax.random.PRNGKey(0)
     # warmup / compile; float() forces a host fetch — on this tunnel
@@ -44,7 +50,7 @@ def main():
     n_iters = 50
     t0 = time.perf_counter()
     for i in range(n_iters):
-        state, stats = step(state, batch, jax.random.fold_in(rng, i))
+        state, stats = step(state, batch, rng)
     _ = float(stats['total_loss'])   # depends on all prior steps via state
     dt = time.perf_counter() - t0
 

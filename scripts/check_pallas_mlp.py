@@ -29,8 +29,12 @@ def main():
     # pure path
     ref = nerf_forward(params, cfg, x.astype(jnp.bfloat16),
                        xv_raw.astype(jnp.bfloat16), fc_idx)
-    # pallas path (interpret on CPU)
-    got = pallas_mlp.nerf_mlp_pallas(params, cfg, x, xv_full)
+    # pallas path (interpret on CPU), split-part operands as used by the
+    # raycaster: x = [kp-enc | bone-enc], xv = [view-enc | framecode]
+    got = pallas_mlp.nerf_mlp_pallas(
+        params, cfg,
+        [x[:, :cfg.input_ch], x[:, cfg.input_ch:]],
+        [xv_full[:, :cfg.input_ch_views], xv_full[:, cfg.input_ch_views:]])
     err = float(jnp.max(jnp.abs(ref - got)))
     scale = float(jnp.max(jnp.abs(ref)))
     print(f'fwd max abs err: {err:.3e}  (scale {scale:.3e})')
@@ -46,11 +50,11 @@ def main():
 
     def loss_pallas(params, x, xv_raw):
         codes = params['framecodes'][fc_idx]
-        xv_full = jnp.concatenate(
-            [xv_raw.astype(jnp.bfloat16),
-             codes.astype(jnp.bfloat16)], -1)
-        out = pallas_mlp.nerf_mlp_pallas(params, cfg,
-                                         x.astype(jnp.bfloat16), xv_full)
+        out = pallas_mlp.nerf_mlp_pallas(
+            params, cfg,
+            [x[:, :cfg.input_ch].astype(jnp.bfloat16),
+             x[:, cfg.input_ch:].astype(jnp.bfloat16)],
+            [xv_raw.astype(jnp.bfloat16), codes.astype(jnp.bfloat16)])
         return jnp.mean((out - tgt) ** 2)
 
     g_ref = jax.grad(loss_pure, argnums=(0, 1, 2))(params, x, xv_raw)
