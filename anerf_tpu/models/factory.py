@@ -117,6 +117,7 @@ def build_raycast_config(cfg: Config,
         kp_dist_type=cfg.kp_dist_type,
         view_type=cfg.view_type,
         bone_type=cfg.bone_type,
+        opt_cutoff=cfg.opt_cutoff,
     )
 
 

@@ -51,6 +51,9 @@ class RayCastConfig:
     kp_dist_type: str = 'reldist'
     view_type: str = 'relray'
     bone_type: str = 'reldir'
+    # cutoff radii are a frozen buffer in the reference
+    # (cutoff_embedder.py:91, requires_grad=False) unless --opt_cutoff
+    opt_cutoff: bool = False
     remat: bool = True   # recompute encode+MLP in backward (HBM saver)
     # 'pallas': fused VMEM-resident MLP kernel (ops/pallas_mlp.py) — the
     # training-path winner (fwd+bwd, weight grads accumulate on-chip);
@@ -106,6 +109,8 @@ def encode_inputs(rc: RayCastConfig,
         j_dists = jnp.linalg.norm(pts[:, :, None] - kps[:, None], axis=-1)
 
     cutoff_dist = params['cutoff_dist']
+    if not rc.opt_cutoff:
+        cutoff_dist = jax.lax.stop_gradient(cutoff_dist)
     v, _ = embed(v, rc.kp_embed, dists=j_dists, cutoff_dist=cutoff_dist,
                  tau=state.get('tau'), alpha=state.get('alpha'))
     if r is not None:
@@ -117,7 +122,12 @@ def encode_inputs(rc: RayCastConfig,
     # Hand the (fat) encodings to the MLP in its compute dtype: halves
     # the HBM traffic of the concat/merge/backward on these tensors.
     cast = lambda x: None if x is None else x.astype(rc.nerf.compute_dtype)
-    return cast(v), cast(r), cast(d)
+    v, r, d = cast(v), cast(r), cast(d)
+    if d is not None and d.shape[1] != pts.shape[1]:
+        # per-ray view encoding (no per-sample cutoff): expand to the
+        # sample axis only now, after PE ran at per-ray size
+        d = jnp.broadcast_to(d, d.shape[:1] + (pts.shape[1],) + d.shape[2:])
+    return v, r, d
 
 
 def _run_network(rc: RayCastConfig, net_params, v, r, d, cam_idxs):
@@ -333,6 +343,8 @@ def render_pts_density(rc: RayCastConfig,
         j_dists = jnp.linalg.norm(pts[:, :, None] - kps[:, None], axis=-1)
 
     cutoff_dist = params['cutoff_dist']
+    if not rc.opt_cutoff:
+        cutoff_dist = jax.lax.stop_gradient(cutoff_dist)
     v, _ = embed(v, rc.kp_embed, dists=j_dists, cutoff_dist=cutoff_dist,
                  tau=state.get('tau'), alpha=state.get('alpha'))
     parts = [v]

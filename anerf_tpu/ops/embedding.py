@@ -145,11 +145,32 @@ def embed(inputs: jnp.ndarray,
     if enc.shape[:-2] != dists_e.shape[:-1]:
         # x is constant along a broadcast axis of the window (e.g. view
         # dirs: per-ray x vs per-sample dists).  Pin the small sin/cos
-        # array here so XLA multiplies the broadcast INTO it instead of
-        # fusing the transcendentals into the fat per-sample output
-        # (a 2-3 ms/step difference at flagship size).
+        # array so XLA multiplies the broadcast INTO it instead of
+        # fusing the transcendentals into the fat per-sample output,
+        # and flatten the (bands, C) axes BEFORE the multiply: both
+        # operands become plain broadcasts of compact arrays, so the
+        # single fat product is written once, row-major — no transposed
+        # layouts or copy chains (several ms/step at flagship size).
         enc = jax.lax.optimization_barrier(enc)
         x = jax.lax.optimization_barrier(x)
+        lead = w.shape[:-2]
+
+        def flat_times_w(bands):       # (..., nb, C) per-ray -> fat 2D
+            nb = bands.shape[-2]
+            flat = bands.reshape(bands.shape[:-2] + (nb * C,))
+            wb = jnp.broadcast_to(w, lead + (nb, C))
+            wb = wb.reshape(lead + (nb * C,))
+            return flat * wb
+
+        if cfg.include_input and cfg.cutoff_inputs:
+            out = flat_times_w(jnp.concatenate([x[..., None, :], enc],
+                                               axis=-2))
+        elif cfg.include_input:
+            x_b = jnp.broadcast_to(x, lead + (C,))
+            out = jnp.concatenate([x_b, flat_times_w(enc)], axis=-1)
+        else:
+            out = flat_times_w(enc)
+        return out, w
 
     if cfg.include_input and cfg.cutoff_inputs:
         enc = jnp.concatenate([x[..., None, :], enc], axis=-2) * w

@@ -86,14 +86,16 @@ def vec_norm(vecs, refs=None):
 
     Matches reference VecNormEncoder (encoders.py:172-193): used for
     view 'relray' (input rays_t (N_rays, 1, J, 3)) and bone 'reldir'
-    (input pts_t (N_rays, N_samples, J, 3)).  Broadcast to the sample
-    count of ``refs`` when given.
+    (input pts_t (N_rays, N_samples, J, 3)).
+
+    Unlike the reference (which expands to the sample count of ``refs``
+    here), the singleton sample axis is kept: per-ray quantities stay
+    per-ray through the (sample-independent) positional encoding, so the
+    sin/cos run at 1/N_samples the size; the caller broadcasts the
+    embedded result instead.  ``refs`` is accepted for signature parity.
     """
     n = vecs / jnp.linalg.norm(vecs, axis=-1, keepdims=True).clip(1e-12)
-    n = n.reshape(n.shape[:2] + (-1,))
-    if refs is not None:
-        n = jnp.broadcast_to(n, refs.shape[:2] + n.shape[-1:])
-    return n
+    return n.reshape(n.shape[:2] + (-1,))
 
 
 def ray_ang(rays_t, pts_t):

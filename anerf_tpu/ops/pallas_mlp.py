@@ -394,6 +394,12 @@ def _fused_mlp_bwd(st, res, g):
             flops=3 * _mlp_flops(st, n),
             bytes_accessed=2 * n * (st.dnet + st.xv) * 2 + n * 16,
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            # weights + f32 grad accumulators + per-tile activation
+            # stack exceed the 16MB default scope at tile 512; the chip
+            # has more physical VMEM, so raise the cap instead of
+            # shrinking the tile (which doubles grid steps)
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=st.interpret,
     )(*xs, *xvs, g.astype(jnp.float32), *flat)
     nx, nv = len(xs), len(xvs)
@@ -429,7 +435,7 @@ def nerf_mlp_pallas(net_params: Dict[str, Any], nerf_cfg,
                     x_parts: Sequence[jnp.ndarray],
                     xv_parts: Sequence[jnp.ndarray],
                     interpret: bool = None,
-                    tile: int = 512, bwd_tile: int = 256) -> jnp.ndarray:
+                    tile: int = 512, bwd_tile: int = 512) -> jnp.ndarray:
     """Fused-MLP forward on part lists -> (..., 4) raw.
 
     ``x_parts`` are the trunk input parts (kp-encoding, bone-encoding)

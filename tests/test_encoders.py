@@ -70,7 +70,10 @@ def test_vec_norm_view_encoding():
     rays_t = encoders.transform_batch_rays(jnp.asarray(rays_d), skts)
     pts_t = jnp.zeros((1, 7, 24, 3))
     d = np.asarray(encoders.vec_norm(rays_t, refs=pts_t))
-    assert d.shape == (1, 7, 72)
+    # per-ray quantities keep the singleton sample axis (broadcast is
+    # deferred to after the positional encoding; see vec_norm docstring)
+    assert d.shape == (1, 1, 72)
+    d = np.broadcast_to(d, (1, 7, 72))
     # normalized per joint
     per_joint = d.reshape(1, 7, 24, 3)
     np.testing.assert_allclose(np.linalg.norm(per_joint, axis=-1), 1.,
