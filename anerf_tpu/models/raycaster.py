@@ -55,9 +55,11 @@ class RayCastConfig:
     # (cutoff_embedder.py:91, requires_grad=False) unless --opt_cutoff
     opt_cutoff: bool = False
     remat: bool = True   # recompute encode+MLP in backward (HBM saver)
-    # 'pallas': fused VMEM-resident MLP kernel (ops/pallas_mlp.py) — the
-    # training-path winner (fwd+bwd, weight grads accumulate on-chip);
-    # 'xla' wins for fwd-only eval, so eval_variant() switches back.
+    # 'pallas': VMEM-resident kernels — the fully fused encode+MLP
+    # (ops/pallas_encmlp.py) when the encoding family allows, else the
+    # split-operand MLP kernel (ops/pallas_mlp.py).  Training-path
+    # winner (fwd+bwd, weight grads accumulate on-chip); 'xla' wins for
+    # fwd-only eval, so eval_variant() switches back.
     mlp_backend: str = 'xla'
 
     def density_fn(self):
@@ -248,8 +250,41 @@ def render_rays(rc: RayCastConfig,
         encode_fn = jax.checkpoint(
             encode_fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
-    v, r, d = encode_fn(params, pts)
-    raw = _run_network(rc, params['coarse'], v, r, d, cam_idxs)
+    # Fully fused encode+MLP kernel (flagship encoding family): the fat
+    # per-sample encodings never touch HBM — distances, cutoff windows,
+    # PE, and the MLP all run per tile in VMEM (ops/pallas_encmlp.py).
+    fused_net = None
+    if rc.mlp_backend == 'pallas':
+        from ..ops import pallas_encmlp as PE
+        if PE.supported_config(rc):
+            skts = pose['skts']
+            rays_t = encoders.transform_batch_rays(rays_d[:, None], skts)
+            rays_t_norm = encoders.vec_norm(rays_t)[:, 0]
+            cutoff_sg = jax.lax.stop_gradient(params['cutoff_dist'])
+            tau_in = state.get('tau')
+            if tau_in is None:
+                tau_in = jnp.asarray(1e6)
+
+            def fused_net(net_params, q_pts):  # noqa: E306
+                pts_t = encoders.transform_batch_pts(q_pts, skts)
+                pts_t = pts_t.astype(jnp.float32)
+                return PE.nerf_encmlp_pallas(
+                    net_params, rc, pts_t, rays_t_norm, cutoff_sg, tau_in,
+                    cam_idxs if rc.nerf.use_framecode else None)
+
+    enc_cache: Dict[str, Any] = {}
+
+    def run_pass(net_params, q_pts, key):
+        if fused_net is not None:
+            raw_out = fused_net(net_params, q_pts)
+            if raw_out is not None:
+                return raw_out
+        if key not in enc_cache:  # reuse encodings across coarse/fine nets
+            enc_cache[key] = encode_fn(params, q_pts)
+        vv, rr, dd = enc_cache[key]
+        return _run_network(rc, net_params, vv, rr, dd, cam_idxs)
+
+    raw = run_pass(params['coarse'], pts, 'coarse')
 
     noise = fixed.get('coarse_noise')
     if noise is None and rc.raw_noise_std > 0. and k_cnoise is not None:
@@ -271,23 +306,21 @@ def render_rays(rc: RayCastConfig,
             pts_is = pts_is + jax.random.normal(k_ray2, pts_is.shape) \
                 * rc.ray_noise_std
 
-        v_is, r_is, d_is = encode_fn(params, pts_is)
         fine_params = params['coarse'] if rc.single_net else params['fine']
         if not rc.single_net:
             # The MLP is pointwise across samples, so evaluate the fine
-            # net on the coarse-point encodings (reused, uncopied) and
-            # the new-point encodings as TWO kernel calls, concatenate
-            # only the thin (N_rays, S, 4) raw outputs, and gather into
-            # depth order — identical math to the reference's
-            # sort-encodings-then-run (raycasters.py:456-461) without
-            # ever concatenating the fat encodings in HBM.
-            raw_c = _run_network(rc, fine_params, v, r, d, cam_idxs)
-            raw_n = _run_network(rc, fine_params, v_is, r_is, d_is,
-                                 cam_idxs)
+            # net on the coarse points (reusing their encodings — or the
+            # fused kernel — uncopied) and the new points as TWO passes,
+            # concatenate only the thin (N_rays, S, 4) raw outputs, and
+            # permute into depth order — identical math to the
+            # reference's sort-encodings-then-run (raycasters.py:456-461)
+            # without ever concatenating the fat encodings in HBM.
+            raw_c = run_pass(fine_params, pts, 'coarse')
+            raw_n = run_pass(fine_params, pts_is, 'fine')
             raw_all = jnp.concatenate([raw_c, raw_n], axis=1)
             raw = _permute_rows(raw_all, sorted_idxs)
         else:
-            raw_is = _run_network(rc, fine_params, v_is, r_is, d_is, cam_idxs)
+            raw_is = run_pass(fine_params, pts_is, 'fine')
             raw = _permute_rows(jnp.concatenate([raw, raw_is], axis=1),
                                 sorted_idxs)
 

@@ -1,0 +1,462 @@
+"""Fully fused encode+MLP Pallas kernel: pts_t in, raw radiance out.
+
+The flagship A-NeRF encoding family (kp 'reldist' + bone 'reldir' +
+view 'relray' with cutoff windows on all three — every shipped config)
+is a pure elementwise function of the skeleton-relative points
+``pts_t`` plus a tiny per-ray view PE.  Materializing the encoded
+features (360+72+648 channels per sample) in HBM costs far more than
+computing them: at the SURREAL recipe the encode pipeline moves ~1.5 GB
+per step.  This kernel computes distances, cutoff windows, positional
+encodings, AND the radiance MLP per point-tile entirely in VMEM; HBM
+traffic collapses to ``pts_t`` (72 ch) in and raw (4 ch) out.
+
+Feature-order trick: in-kernel math wants contiguous lanes, so the
+per-joint xyz components are laid out COMPONENT-major ([all x | all y |
+all z]) instead of the reference's joint-major (j0x j0y j0z ...).  The
+consuming weight rows are permuted once at flatten time (a traced
+gather, so weight gradients scatter back to the right rows), keeping
+the math identical to models/nerf_mlp.py + ops/embedding.py.
+
+The backward kernel recomputes the encode + forward activations per
+tile (flash-style), runs the hand-written MLP backward from
+pallas_mlp, and pulls the input cotangents back through the encode
+with ``jax.vjp`` traced inside the kernel.
+
+Reference math covered (cited per the survey):
+  * reldist / reldir / relray encoders  (core/encoders.py:101-193)
+  * cutoff-windowed PE with cutoff_inputs (core/cutoff_embedder.py:111-174)
+  * NeRF MLP (core/networks/nerf.py:12-148)
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_mlp import (MLPStatic, _const_spec, _dot_nt, _dot_tn,
+                         _forward_tile, _is_tpu_backend, _mlp_flops,
+                         _num_weight_operands, _tile_spec, _weight_shapes)
+from .pallas_mlp import flatten_params as _flatten_plain
+
+
+@dataclasses.dataclass(frozen=True)
+class EncStatic:
+    """Trace-time description of the fused encode."""
+    J: int                          # joints (24)
+    kp_freqs: Tuple[float, ...]     # kp PE bands (2^0..2^6)
+    view_nb: int                    # view PE rows incl. input (1 + 2F_v)
+    S: int                          # samples per ray in this pass
+    rpt: int                        # rays per tile (tile // S)
+    has_codes: bool
+    bone_windowed: bool = False     # --cutoff_bones (off in all configs)
+    eps: float = 1e-12
+
+
+def _comp_major_perm(J: int) -> np.ndarray:
+    """perm[i] = joint-major row for component-major index i."""
+    comp, j = np.divmod(np.arange(3 * J), J)
+    return (j * 3 + comp).astype(np.int32)
+
+
+def _encode_tile(est: EncStatic, p, enc_blk, cutoff, tau):
+    """In-VMEM encode: (T,3J) comp-major pts_t -> (v, r, xv) f32.
+
+    Mirrors ops/embedding.embed for the flagship flags
+    (include_input=True, cutoff_inputs=True, no shift/cut_to/schedule).
+    """
+    J = est.J
+    x, y, z = p[:, :J], p[:, J:2 * J], p[:, 2 * J:]
+    dists = jnp.sqrt(x * x + y * y + z * z)              # (T, J)
+    w = 1. - jax.nn.sigmoid(tau * (dists - cutoff))      # (T, J)
+
+    # kp 'reldist' + cutoff PE: rows [x, sin f0 x, cos f0 x, ...] * w
+    rows = [dists * w]
+    for f in est.kp_freqs:
+        xf = dists * f
+        rows.append(jnp.sin(xf) * w)
+        rows.append(jnp.cos(xf) * w)
+    v = jnp.concatenate(rows, axis=-1)                   # (T, (1+2F)J)
+
+    # bone 'reldir' (identity PE): normalize, windowed only under
+    # --cutoff_bones (plain identity embed otherwise; embedding.py:155)
+    d3 = jnp.concatenate([dists, dists, dists], axis=-1)
+    w3 = jnp.concatenate([w, w, w], axis=-1)
+    r = p / jnp.maximum(d3, est.eps)                     # (T, 3J)
+    if est.bone_windowed:
+        r = r * w3
+
+    # view 'relray': per-ray PE rows (rpt, nb*3J) * per-sample window
+    T = p.shape[0]
+    vrows = []
+    for b in range(est.view_nb):
+        piece = enc_blk[:, b * 3 * J:(b + 1) * 3 * J]    # (rpt, 3J)
+        piece = jnp.broadcast_to(piece[:, None], (est.rpt, est.S, 3 * J))
+        vrows.append(piece.reshape(T, 3 * J) * w3)
+    xv = jnp.concatenate(vrows, axis=-1)                 # (T, nb*3J)
+    return v, r, xv
+
+
+def _codes_tile(est: EncStatic, codes_blk, T):
+    c = jnp.broadcast_to(codes_blk[:, None],
+                         (est.rpt, est.S, codes_blk.shape[-1]))
+    return c.reshape(T, codes_blk.shape[-1])
+
+
+def _fwd_kernel(st: MLPStatic, est: EncStatic, *refs):
+    i = 2 + (1 if est.has_codes else 0)
+    p, enc_blk = refs[0][:], refs[1][:]
+    codes_blk = refs[2][:] if est.has_codes else None
+    cutoff, tau = refs[i][:], refs[i + 1][0, 0]
+    wrefs, out_ref = refs[i + 2:-1], refs[-1]
+
+    v, r, xv = _encode_tile(est, p, enc_blk, cutoff, tau)
+    b16 = lambda a: a.astype(jnp.bfloat16)
+    xs = [b16(v), b16(r)]
+    xvs = [b16(xv)]
+    if est.has_codes:
+        xvs.append(b16(_codes_tile(est, codes_blk, p.shape[0])))
+    _, _, _, rgb, alpha = _forward_tile(st, xs, xvs, wrefs)
+    out_ref[:] = jnp.concatenate([rgb, alpha], axis=-1)
+
+
+def _bwd_kernel(st: MLPStatic, est: EncStatic, *refs):
+    n_in = 2 + (1 if est.has_codes else 0)
+    n_w = _num_weight_operands(st)
+    p, enc_blk = refs[0][:], refs[1][:]
+    codes_blk = refs[2][:] if est.has_codes else None
+    cutoff, tau = refs[n_in][:], refs[n_in + 1][0, 0]
+    g_ref = refs[n_in + 2]
+    wrefs = refs[n_in + 3:n_in + 3 + n_w]
+    orefs = refs[n_in + 3 + n_w:]
+    dp_ref, denc_ref = orefs[0], orefs[1]
+    dcodes_ref = orefs[2] if est.has_codes else None
+    grefs = orefs[n_in:]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for gr in grefs:
+            gr[:] = jnp.zeros_like(gr)
+
+    T = p.shape[0]
+    b16 = lambda a: a.astype(jnp.bfloat16)
+
+    # encode with a pullback traced in-kernel
+    def enc_fn(p_, enc_):
+        v_, r_, xv_ = _encode_tile(est, p_, enc_, cutoff, tau)
+        return b16(v_), b16(r_), b16(xv_)
+
+    (v, r, xv), enc_pull = jax.vjp(enc_fn, p, enc_blk)
+    xs = [v, r]
+    xvs = [xv]
+    if est.has_codes:
+        xvs.append(b16(_codes_tile(est, codes_blk, T)))
+
+    acts, feat, hv, _, _ = _forward_tile(st, xs, xvs, wrefs)
+
+    g = g_ref[:]
+    g_rgb, g_alpha = g[:, :3], g[:, 3:4]
+
+    # --- MLP backward (mirror of pallas_mlp._bwd_kernel) ---
+    it = iter(wrefs)
+    trunk = []
+    for i in range(st.depth):
+        if i == 0:
+            trunk.append((None, [next(it) for _ in st.dparts]))
+        elif st.has_x_part(i):
+            wh = next(it)
+            trunk.append((wh, [next(it) for _ in st.dparts]))
+        else:
+            trunk.append((next(it), None))
+        _ = next(it)
+    wa, _, wf, _, wvf = next(it), next(it), next(it), next(it), next(it)
+    wvs = [next(it) for _ in st.vparts]
+    _bv, wr, _br = next(it), next(it), next(it)
+    git = iter(grefs)
+
+    def add(ref, val):
+        ref[:] = ref[:] + val
+
+    f32 = lambda a: a.astype(jnp.float32)
+    g_rgb_b = b16(g_rgb)
+    g_hv = _dot_nt(g_rgb_b, wr[:]) * (f32(hv) > 0)
+    g_hv_b = b16(g_hv)
+    g_feat = _dot_nt(g_hv_b, wvf[:])
+    g_xvs = [_dot_nt(g_hv_b, wvk[:]) for wvk in wvs]
+    g_feat_b = b16(g_feat)
+    g_alpha_b = b16(g_alpha)
+    g_a = _dot_nt(g_feat_b, wf[:]) + _dot_nt(g_alpha_b, wa[:])
+
+    g_x_acc = [jnp.zeros((T, d), jnp.float32) for d in st.dparts]
+    g_pres = []
+    for i in reversed(range(st.depth)):
+        g_pre = g_a * (f32(acts[i]) > 0)
+        g_pre_b = b16(g_pre)
+        g_pres.append((i, g_pre, g_pre_b))
+        wh, wxs = trunk[i]
+        if i == 0:
+            for k, w0k in enumerate(wxs):
+                g_x_acc[k] = g_x_acc[k] + _dot_nt(g_pre_b, w0k[:])
+            break
+        g_a = _dot_nt(g_pre_b, wh[:])
+        if wxs is not None:
+            for k, wxk in enumerate(wxs):
+                g_x_acc[k] = g_x_acc[k] + _dot_nt(g_pre_b, wxk[:])
+
+    # --- encode backward: pull (dv, dr, dxv) to (dp, denc) ---
+    dp, denc = enc_pull((b16(g_x_acc[0]), b16(g_x_acc[1]),
+                         b16(g_xvs[0])))
+    dp_ref[:] = dp.astype(dp_ref.dtype)
+    denc_ref[:] = denc.astype(denc_ref.dtype)
+    if est.has_codes:
+        dc = g_xvs[1].reshape(est.rpt, est.S, -1).sum(axis=1)
+        dcodes_ref[:] = dc.astype(dcodes_ref.dtype)
+
+    # --- weight grads, flatten order ---
+    g_pre_by_layer = {i: (gp, gpb) for i, gp, gpb in g_pres}
+    for i in range(st.depth):
+        g_pre, g_pre_b = g_pre_by_layer[i]
+        if i == 0:
+            for xk in xs:
+                add(next(git), _dot_tn(xk, g_pre_b))
+        else:
+            add(next(git), _dot_tn(acts[i - 1], g_pre_b))
+            if st.has_x_part(i):
+                for xk in xs:
+                    add(next(git), _dot_tn(xk, g_pre_b))
+        add(next(git), jnp.sum(g_pre, axis=0, keepdims=True))
+    a_last = acts[-1]
+    add(next(git), _dot_tn(a_last, g_alpha_b))
+    add(next(git), jnp.sum(g_alpha, axis=0, keepdims=True))
+    add(next(git), _dot_tn(a_last, g_feat_b))
+    add(next(git), jnp.sum(g_feat, axis=0, keepdims=True))
+    add(next(git), _dot_tn(feat, g_hv_b))
+    for xvk in xvs:
+        add(next(git), _dot_tn(xvk, g_hv_b))
+    add(next(git), jnp.sum(g_hv, axis=0, keepdims=True))
+    add(next(git), _dot_tn(hv, g_rgb_b))
+    add(next(git), jnp.sum(g_rgb, axis=0, keepdims=True))
+
+
+def _block_spec(rpt, width):
+    return pl.BlockSpec((rpt, width), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _in_specs(st: MLPStatic, est: EncStatic, J: int):
+    specs = [_tile_spec(st.tile, 3 * J),                  # pts_t
+             _block_spec(est.rpt, est.view_nb * 3 * J)]   # enc_ray
+    if est.has_codes:
+        specs.append(_block_spec(est.rpt, st.vparts[1]))
+    specs += [_const_spec((1, J)), _const_spec((1, 1))]   # cutoff, tau
+    return specs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused(st: MLPStatic, est: EncStatic, p, enc_ray, codes, cutoff, tau,
+           flat):
+    return _fused_fwd(st, est, p, enc_ray, codes, cutoff, tau, flat)[0]
+
+
+def _fused_fwd(st, est, p, enc_ray, codes, cutoff, tau, flat):
+    n = p.shape[0]
+    grid = (n // st.tile,)
+    J = est.J
+    args = [p, enc_ray] + ([codes] if est.has_codes else []) \
+        + [cutoff, tau] + list(flat)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, st, est),
+        grid=grid,
+        in_specs=_in_specs(st, est, J)
+        + [_const_spec(s) for s, _ in _weight_shapes(st)],
+        out_specs=_tile_spec(st.tile, 4),
+        out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=_mlp_flops(st, n),
+            bytes_accessed=n * 3 * J * 4 + n * 16,
+            transcendentals=n * (2 * len(est.kp_freqs) + 2) * J),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=st.interpret,
+    )(*args)
+    return out, (p, enc_ray, codes, cutoff, tau, flat)
+
+
+def _fused_bwd(st, est, res, g):
+    p, enc_ray, codes, cutoff, tau, flat = res
+    n = p.shape[0]
+    grid = (n // st.tile,)
+    J = est.J
+    gshapes = _weight_shapes(st)
+    n_rays = enc_ray.shape[0]
+    out_shape = [jax.ShapeDtypeStruct(p.shape, p.dtype),
+                 jax.ShapeDtypeStruct(enc_ray.shape, enc_ray.dtype)]
+    out_specs = [_tile_spec(st.tile, 3 * J),
+                 _block_spec(est.rpt, est.view_nb * 3 * J)]
+    if est.has_codes:
+        out_shape.append(jax.ShapeDtypeStruct(codes.shape, codes.dtype))
+        out_specs.append(_block_spec(est.rpt, st.vparts[1]))
+    out_shape += [jax.ShapeDtypeStruct(s, jnp.float32) for s, _ in gshapes]
+    out_specs += [_const_spec(s) for s, _ in gshapes]
+    args = [p, enc_ray] + ([codes] if est.has_codes else []) \
+        + [cutoff, tau, g.astype(jnp.float32)] + list(flat)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, st, est),
+        grid=grid,
+        in_specs=_in_specs(st, est, J) + [_tile_spec(st.tile, 4)]
+        + [_const_spec(s) for s, _ in gshapes],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * _mlp_flops(st, n),
+            bytes_accessed=2 * n * 3 * J * 4 + n * 16,
+            transcendentals=2 * n * (2 * len(est.kp_freqs) + 2) * J),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=st.interpret,
+    )(*args)
+    k = 2 + (1 if est.has_codes else 0)
+    dp, denc = outs[0], outs[1]
+    dcodes = outs[2] if est.has_codes else jnp.zeros_like(codes)
+    dflat = [gr.astype(d) for gr, (_, d) in zip(outs[k:], gshapes)]
+    return (dp, denc, dcodes, jnp.zeros_like(cutoff),
+            jnp.zeros_like(tau), dflat)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def flatten_params_cm(net_params: Dict[str, Any], st: MLPStatic,
+                      J: int, view_nb: int) -> List[jnp.ndarray]:
+    """flatten_params with the bone/view weight rows permuted to the
+    kernel's component-major feature order (traced gather: weight grads
+    scatter back to the joint-major rows)."""
+    perm_r = jnp.asarray(_comp_major_perm(J))
+    dv = st.dparts[0]
+
+    def perm_x(w):
+        """Permute the r-part rows of an x-consuming trunk weight."""
+        return jnp.concatenate([w[:dv], w[dv:][perm_r]], axis=0)
+
+    perm_view = jnp.asarray(np.concatenate(
+        [b * 3 * J + _comp_major_perm(J) for b in range(view_nb)]))
+
+    p = dict(net_params)
+    pts = []
+    for i, lin in enumerate(net_params['pts_linears']):
+        w = lin['w']
+        if i == 0:
+            w = perm_x(w)
+        elif st.has_x_part(i):
+            w = jnp.concatenate([perm_x(w[:st.dnet]), w[st.dnet:]], axis=0)
+        pts.append({'w': w, 'b': lin['b']})
+    p['pts_linears'] = pts
+    wv = net_params['views_linear']['w']
+    W = st.width
+    wv_x = wv[W:W + view_nb * 3 * J][perm_view]
+    p['views_linear'] = {
+        'w': jnp.concatenate([wv[:W], wv_x, wv[W + view_nb * 3 * J:]],
+                             axis=0),
+        'b': net_params['views_linear']['b']}
+    return _flatten_plain(p, st)
+
+
+def supported_config(rc) -> bool:
+    """Whether the fused encode kernel covers this raycast config."""
+    ke, be, ve = rc.kp_embed, rc.bone_embed, rc.view_embed
+    return (rc.kp_dist_type == 'reldist' and rc.bone_type == 'reldir'
+            and rc.view_type == 'relray' and rc.use_viewdirs
+            and not rc.opt_cutoff
+            and ke.cutoff and ke.cutoff_inputs and ke.include_input
+            and not ke.cut_to_cutoff and not ke.shift_inputs
+            and not ke.freq_schedule and ke.num_freqs > 0
+            and be.include_input and be.num_freqs == 0
+            and not be.freq_schedule
+            and (not be.cutoff or be.cutoff_inputs)
+            and ve.cutoff and ve.cutoff_inputs and ve.include_input
+            and not ve.freq_schedule
+            and rc.nerf.width % 256 == 0)
+
+
+def view_pe_rows(rays_t_norm: jnp.ndarray, freq_bands: Sequence[float],
+                 J: int) -> jnp.ndarray:
+    """Per-ray view PE rows [x, sin f0 x, cos f0 x, ...] in the kernel's
+    component-major order: (R, (1+2F) * 3J)."""
+    perm = np.concatenate([b * 3 * J + _comp_major_perm(J)
+                           for b in range(1 + 2 * len(freq_bands))])
+    x = rays_t_norm
+    rows = [x]
+    for f in freq_bands:
+        rows.append(jnp.sin(x * f))
+        rows.append(jnp.cos(x * f))
+    enc = jnp.concatenate(rows, axis=-1)
+    return enc[..., jnp.asarray(perm)]
+
+
+def nerf_encmlp_pallas(net_params: Dict[str, Any], rc,
+                       pts_t: jnp.ndarray,
+                       rays_t_norm: jnp.ndarray,
+                       cutoff_dist: jnp.ndarray,
+                       tau,
+                       cam_idxs: Optional[jnp.ndarray] = None,
+                       interpret: Optional[bool] = None,
+                       tile: int = 512) -> Optional[jnp.ndarray]:
+    """Fused encode+MLP for one network pass.
+
+    Args:
+      pts_t: (R, S, J, 3) skeleton-relative points (f32).
+      rays_t_norm: (R, 3J) normalized per-joint local ray dirs.
+      cutoff_dist: (J,) window radii; tau: window sharpness scalar.
+      cam_idxs: (R,) framecode indices or None.
+    Returns (R, S, 4) raw, or None if the shape doesn't tile.
+    """
+    R, S, J, _ = pts_t.shape
+    n = R * S
+    while tile > 128 and (n < tile or tile % S != 0 or
+                          R % (tile // S) != 0):
+        tile //= 2
+    if tile % S != 0 or R % (tile // S) != 0 or n % tile != 0:
+        return None
+    rpt = tile // S
+
+    nerf = rc.nerf
+    st = MLPStatic(
+        depth=nerf.depth, width=nerf.width,
+        dparts=((1 + 2 * rc.kp_embed.num_freqs) * J, 3 * J),
+        vparts=(((1 + 2 * rc.view_embed.num_freqs) * 3 * J,)
+                + ((nerf.framecode_ch,) if (nerf.use_framecode and
+                                            cam_idxs is not None) else ())),
+        half=nerf.width // 2, skips=tuple(nerf.skips),
+        tile=tile, bwd_tile=tile,
+        interpret=(not _is_tpu_backend()) if interpret is None
+        else interpret)
+    est = EncStatic(J=J, kp_freqs=tuple(float(f) for f in
+                                        rc.kp_embed.freq_bands()),
+                    view_nb=1 + 2 * rc.view_embed.num_freqs,
+                    S=S, rpt=rpt,
+                    has_codes=(nerf.use_framecode and cam_idxs is not None),
+                    bone_windowed=rc.bone_embed.cutoff)
+
+    # component-major flatten of pts_t: (R, S, J, 3) -> (n, 3J)
+    p = pts_t.transpose(0, 1, 3, 2).reshape(n, 3 * J).astype(jnp.float32)
+    enc_ray = view_pe_rows(rays_t_norm,
+                           [float(f) for f in rc.view_embed.freq_bands()],
+                           J)
+    enc_ray = enc_ray.astype(jnp.float32)
+    codes = None
+    if est.has_codes:
+        from ..models.nerf_mlp import framecode_lookup
+        codes = framecode_lookup(net_params['framecodes'],
+                                 cam_idxs).astype(jnp.float32)
+    flat = flatten_params_cm(net_params, st, J, est.view_nb)
+    cutoff2d = jnp.asarray(cutoff_dist, jnp.float32).reshape(1, J)
+    tau2d = jnp.asarray(tau, jnp.float32).reshape(1, 1)
+    raw = _fused(st, est, p, enc_ray,
+                 codes if codes is not None else jnp.zeros((R, 0)),
+                 cutoff2d, tau2d, flat)
+    return raw.reshape(R, S, 4)

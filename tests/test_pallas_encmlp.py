@@ -1,0 +1,123 @@
+"""Fused encode+MLP kernel parity vs the unfused (XLA) path, through
+the full render_rays pipeline (interpret mode on CPU)."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from anerf_tpu import testing_utils as T
+from anerf_tpu.models import raycaster as rcm
+from anerf_tpu.models.factory import build_raycast_config, embed_state, \
+    init_raycaster_params
+from anerf_tpu.ops import pallas_encmlp as PE
+from anerf_tpu.skeleton import SMPLSkeleton
+
+
+def build(n_rays=8, **over):
+    cfg = T.surreal_config(N_rand=n_rays, **over)
+    rest, bones, pelvis, kps, skts, cyls = T.synthetic_pose(
+        4, ext_scale=cfg.ext_scale)
+    rc = build_raycast_config(cfg, n_framecodes=4)
+    params = init_raycaster_params(jax.random.PRNGKey(0), rc, cfg,
+                                   SMPLSkeleton)
+    batch = T.synthetic_batch(n_rays, 4, kps, skts, bones, cyls)
+    est = embed_state(cfg, rc, 10000)
+    pose = {'kps': batch['kps'], 'skts': batch['skts'],
+            'bones': batch['bones'], 'cyls': batch['cyls']}
+    return rc, params, batch, est, pose
+
+
+def render(rc, params, batch, est, pose, backend):
+    rc2 = dataclasses.replace(rc, mlp_backend=backend)
+    return rcm.render_rays(
+        rc2, params, batch['rays_o'], batch['rays_d'], 0.0, 1.0, pose,
+        est, cam_idxs=batch['cam_idxs'], rng=jax.random.PRNGKey(1))
+
+
+def test_supported_config_flagship():
+    rc, *_ = build()
+    assert PE.supported_config(rc)
+
+
+def test_fused_matches_xla_forward():
+    rc, params, batch, est, pose = build()
+    a = render(rc, params, batch, est, pose, 'xla')
+    b = render(rc, params, batch, est, pose, 'pallas')
+    for k in ('rgb_map', 'acc_map', 'rgb0', 'acc0'):
+        ref, got = np.asarray(a[k]), np.asarray(b[k])
+        scale = np.abs(ref).max() + 1e-6
+        assert np.max(np.abs(ref - got)) < 3e-2 * scale, (
+            k, np.max(np.abs(ref - got)), scale)
+
+
+def _grad_fn(rc, params, batch, est, pose):
+    def loss(backend, params, skts):
+        p2 = dict(pose, skts=skts)
+        rc2 = dataclasses.replace(rc, mlp_backend=backend)
+        out = rcm.render_rays(rc2, params, batch['rays_o'],
+                              batch['rays_d'], 0.0, 1.0, p2, est,
+                              cam_idxs=batch['cam_idxs'],
+                              rng=jax.random.PRNGKey(1))
+        return (out['rgb_map'].astype(jnp.float32) ** 2).mean() + \
+            (out['rgb0'].astype(jnp.float32) ** 2).mean()
+    return loss
+
+
+def test_fused_matches_split_pallas_gradients():
+    """The fused kernel must reproduce the split-kernel pallas backend's
+    gradients (same bf16-cotangent semantics) essentially exactly."""
+    rc, params, batch, est, pose = build()
+    loss = _grad_fn(rc, params, batch, est, pose)
+    g_fused = jax.grad(loss, argnums=(1, 2))('pallas', params, pose['skts'])
+    orig = PE.supported_config
+    try:
+        PE.supported_config = lambda rc: False   # force split-kernel path
+        g_split = jax.grad(loss, argnums=(1, 2))('pallas', params,
+                                                 pose['skts'])
+    finally:
+        PE.supported_config = orig
+    la, _ = jax.tree_util.tree_flatten(g_split)
+    lb, _ = jax.tree_util.tree_flatten(g_fused)
+    for a, b in zip(la, lb):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        na = np.linalg.norm(a)
+        if na < 1e-12:
+            continue
+        cos = a @ b / (na * np.linalg.norm(b) + 1e-30)
+        assert cos > 0.9999, cos
+        assert abs(np.linalg.norm(b) / na - 1) < 5e-3
+
+
+def test_fused_matches_xla_gradient_direction():
+    """vs the f32-cotangent XLA path: direction agrees (the pallas
+    backends round cotangents to bf16 per layer, flash-style, so exact
+    per-element equality is not expected on tiny-magnitude leaves)."""
+    rc, params, batch, est, pose = build()
+    loss = _grad_fn(rc, params, batch, est, pose)
+    g_ref = jax.grad(loss, argnums=(1, 2))('xla', params, pose['skts'])
+    g_got = jax.grad(loss, argnums=(1, 2))('pallas', params, pose['skts'])
+    ref_l, _ = jax.tree_util.tree_flatten(g_ref)
+    got_l, _ = jax.tree_util.tree_flatten(g_got)
+    for a, b in zip(ref_l, got_l):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        na = np.linalg.norm(a)
+        if na < 1e-12:
+            continue
+        cos = a @ b / (na * np.linalg.norm(b) + 1e-30)
+        assert cos > 0.98, cos
+        assert abs(np.linalg.norm(b) / na - 1) < 0.1
+
+
+def test_fallback_on_untileable_shapes():
+    # 5 rays x 64 samples = 320 points: tiles to 64 (rpt=1) fine — use a
+    # sample count that cannot tile instead
+    rc, params, batch, est, pose = build()
+    pts_t = jnp.zeros((3, 7, 24, 3))   # S=7 never divides a pow2 tile
+    out = PE.nerf_encmlp_pallas(params['coarse'], rc, pts_t,
+                                jnp.zeros((3, 72)),
+                                params['cutoff_dist'], 100.0, None)
+    assert out is None
