@@ -71,34 +71,44 @@ def _encode_tile(est: EncStatic, p, enc_blk, cutoff, tau):
     (include_input=True, cutoff_inputs=True, no shift/cut_to/schedule).
     """
     J = est.J
+    T = p.shape[0]
     x, y, z = p[:, :J], p[:, J:2 * J], p[:, 2 * J:]
     dists = jnp.sqrt(x * x + y * y + z * z)              # (T, J)
     w = 1. - jax.nn.sigmoid(tau * (dists - cutoff))      # (T, J)
 
-    # kp 'reldist' + cutoff PE: rows [x, sin f0 x, cos f0 x, ...] * w
-    rows = [dists * w]
-    for f in est.kp_freqs:
-        xf = dists * f
-        rows.append(jnp.sin(xf) * w)
-        rows.append(jnp.cos(xf) * w)
-    v = jnp.concatenate(rows, axis=-1)                   # (T, (1+2F)J)
+    def rep(a, k):
+        """(T, C) -> (T, k*C), column blocks repeated.  Concat rather
+        than broadcast+reshape: Mosaic does not lower minor-dim merges
+        ("unsupported shape cast")."""
+        return jnp.concatenate([a] * k, axis=-1)
+
+    # kp 'reldist' + cutoff PE: rows [x, sin f0 x, cos f0 x, ...] * w.
+    # One wide sin over all 2F bands (cos via sin(x + pi/2)) keeps the
+    # VPU at full lane width instead of 2F narrow 24-lane calls.
+    F = len(est.kp_freqs)
+    # freq/phase rows built from iota (pallas kernels cannot capture
+    # array constants): band k uses freq 2^(k//2) (log-sampled bands),
+    # phase pi/2 turns the odd rows into cosines
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * F * J), 1)
+    k2 = col // J
+    freq_row = jnp.exp2((k2 // 2).astype(jnp.float32))
+    phase_row = (k2 % 2).astype(jnp.float32) * (np.pi / 2)
+    bands = jnp.sin(rep(dists, 2 * F) * freq_row + phase_row)
+    v = jnp.concatenate([dists, bands], axis=-1) * rep(w, 2 * F + 1)
 
     # bone 'reldir' (identity PE): normalize, windowed only under
     # --cutoff_bones (plain identity embed otherwise; embedding.py:155)
-    d3 = jnp.concatenate([dists, dists, dists], axis=-1)
-    w3 = jnp.concatenate([w, w, w], axis=-1)
+    d3 = rep(dists, 3)
+    w3 = rep(w, 3)
     r = p / jnp.maximum(d3, est.eps)                     # (T, 3J)
     if est.bone_windowed:
         r = r * w3
 
     # view 'relray': per-ray PE rows (rpt, nb*3J) * per-sample window
-    T = p.shape[0]
-    vrows = []
-    for b in range(est.view_nb):
-        piece = enc_blk[:, b * 3 * J:(b + 1) * 3 * J]    # (rpt, 3J)
-        piece = jnp.broadcast_to(piece[:, None], (est.rpt, est.S, 3 * J))
-        vrows.append(piece.reshape(T, 3 * J) * w3)
-    xv = jnp.concatenate(vrows, axis=-1)                 # (T, nb*3J)
+    # (leading-dim broadcast over samples IS a supported reshape)
+    nbJ3 = est.view_nb * 3 * J
+    enc_b = jnp.broadcast_to(enc_blk[:, None], (est.rpt, est.S, nbJ3))
+    xv = enc_b.reshape(T, nbJ3) * rep(w3, est.view_nb)
     return v, r, xv
 
 
@@ -375,6 +385,7 @@ def supported_config(rc) -> bool:
             and ke.cutoff and ke.cutoff_inputs and ke.include_input
             and not ke.cut_to_cutoff and not ke.shift_inputs
             and not ke.freq_schedule and ke.num_freqs > 0
+            and ke.log_sampling  # in-kernel bands assume 2^k freqs
             and be.include_input and be.num_freqs == 0
             and not be.freq_schedule
             and (not be.cutoff or be.cutoff_inputs)
