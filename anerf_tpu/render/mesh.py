@@ -226,14 +226,18 @@ def compute_vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
 def rasterize_mesh(verts: np.ndarray, faces: np.ndarray,
                    H: int = 512, W: int = 512,
                    c2w: Optional[np.ndarray] = None,
-                   focal: Optional[float] = None) -> np.ndarray:
+                   focal: Optional[float] = None,
+                   center: Optional[np.ndarray] = None,
+                   return_mask: bool = False):
     """Normal-colored z-buffer rasterization (the software replacement
     for the reference's EGL ColorRender, render/color_render.py:31-113).
 
-    Returns an (H, W, 3) float image in [0, 1].
+    Returns an (H, W, 3) float image in [0, 1]; with ``return_mask``
+    also the (H, W) coverage mask.
     """
     if len(verts) == 0:
-        return np.ones((H, W, 3), np.float32)
+        blank = np.ones((H, W, 3), np.float32)
+        return (blank, np.zeros((H, W), bool)) if return_mask else blank
     center = verts.mean(0)
     scale = np.abs(verts - center).max()
     if c2w is None:
@@ -247,8 +251,10 @@ def rasterize_mesh(verts: np.ndarray, faces: np.ndarray,
     cam = (vh @ w2c.T)[:, :3]
     z = -cam[:, 2]
     valid_z = np.maximum(z, 1e-6)
-    px = cam[:, 0] / valid_z * focal + W * 0.5
-    py = -cam[:, 1] / valid_z * focal + H * 0.5
+    cx = W * 0.5 if center is None else float(center[0])
+    cy = H * 0.5 if center is None else float(center[1])
+    px = cam[:, 0] / valid_z * focal + cx
+    py = -cam[:, 1] / valid_z * focal + cy
 
     normals = compute_vertex_normals(verts, faces)
     colors = normals * 0.5 + 0.5
@@ -290,7 +296,27 @@ def rasterize_mesh(verts: np.ndarray, faces: np.ndarray,
             if zz < zbuf[y, x]:
                 zbuf[y, x] = zz
                 img[y, x] = cc
+    if return_mask:
+        return img, np.isfinite(zbuf)
     return img
+
+
+def overlay_mesh(image: np.ndarray, verts: np.ndarray, faces: np.ndarray,
+                 c2w: np.ndarray, focal: float,
+                 center: Optional[np.ndarray] = None,
+                 alpha: float = 0.8) -> np.ndarray:
+    """Composite a (e.g. SMPL) mesh render over an image — the software
+    replacement for the reference's pyrender overlay visualizer
+    (core/misc/renderer.py: Renderer.__call__(vertices, image, focal,
+    center, camera_pose))."""
+    H, W = image.shape[:2]
+    shaded, mask = rasterize_mesh(verts, faces, H, W, c2w=c2w,
+                                  focal=focal, center=center,
+                                  return_mask=True)
+    out = np.asarray(image, np.float32).copy()
+    m = mask[..., None].astype(np.float32) * alpha
+    out = out * (1. - m) + shaded * m
+    return out
 
 
 def render_turntable(verts: np.ndarray, faces: np.ndarray,

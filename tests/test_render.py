@@ -313,3 +313,25 @@ def test_torch_tar_import(tmp_path, scene):
         {k: (v if k != 'fine' else None) for k, v in p.items()} if False
         else p, rc.nerf, x, v)
     assert out.shape == (2, 4)
+
+
+def test_overlay_mesh_composites():
+    """Software replacement for the pyrender overlay
+    (reference core/misc/renderer.py)."""
+    import numpy as np
+    from anerf_tpu.render.mesh import overlay_mesh, rasterize_mesh
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]],
+                     np.float32) * 0.3
+    faces = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]])
+    img = np.zeros((64, 64, 3), np.float32)
+    c2w = np.eye(4)
+    c2w[2, 3] = 2.0
+    out = overlay_mesh(img, verts, faces, c2w, focal=60.)
+    assert out.shape == (64, 64, 3)
+    cov = (out.sum(-1) > 0).mean()
+    assert 0.0 < cov < 0.5            # mesh visible, image not wiped
+    _, mask = rasterize_mesh(verts, faces, 64, 64, c2w=c2w, focal=60.,
+                             return_mask=True)
+    assert mask.any()
+    # untouched pixels keep the original image
+    assert (out[~mask] == 0.).all()
