@@ -74,6 +74,8 @@ def _binary_morph(mask: np.ndarray, kernel: int, op: str) -> np.ndarray:
     """Separable box erosion/dilation via numpy (no cv2 dependency in
     the core path)."""
     from numpy.lib.stride_tricks import sliding_window_view
+    if kernel % 2 != 1:
+        raise ValueError(f'_binary_morph requires an odd kernel, got {kernel}')
     pad = kernel // 2
     agg = np.max if op == 'dilate' else np.min
     m = np.pad(mask, ((pad, pad), (0, 0)),

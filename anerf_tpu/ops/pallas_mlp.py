@@ -110,6 +110,11 @@ def flatten_params(net_params: Dict[str, Any], st: MLPStatic) -> List[jnp.ndarra
     flat.append(b16(net_params['feature_linear']['w']))
     flat.append(row(net_params['feature_linear']['b']))
     wv = net_params['views_linear']['w']
+    # Guard against silently dropping rows (e.g. the framecode rows when
+    # use_framecode=True but no codes part was registered in vparts).
+    assert st.width + sum(st.vparts) == wv.shape[0], (
+        f'views_linear rows {wv.shape[0]} != width {st.width} + '
+        f'vparts {st.vparts}; a view-input part is missing')
     flat.append(b16(wv[:st.width]))         # feature-part (feature first)
     flat += [b16(x) for x in _split_rows(wv[st.width:], st.vparts)]
     flat.append(row(net_params['views_linear']['b']))

@@ -238,11 +238,11 @@ def rasterize_mesh(verts: np.ndarray, faces: np.ndarray,
     if len(verts) == 0:
         blank = np.ones((H, W, 3), np.float32)
         return (blank, np.zeros((H, W), bool)) if return_mask else blank
-    center = verts.mean(0)
-    scale = np.abs(verts - center).max()
+    mesh_center = verts.mean(0)
+    scale = np.abs(verts - mesh_center).max()
     if c2w is None:
         c2w = np.eye(4)
-        c2w[:3, 3] = center + np.array([0., 0., 3.5 * scale])
+        c2w[:3, 3] = mesh_center + np.array([0., 0., 3.5 * scale])
     if focal is None:
         focal = 1.2 * W
 

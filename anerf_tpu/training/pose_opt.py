@@ -190,7 +190,9 @@ def kp_reg_loss_legacy(preds: Dict[str, jnp.ndarray],
         kp_loss = kp_loss + temp_loss
 
     sg = jax.lax.stop_gradient
-    mpjpc = jnp.sqrt(((reg_kps - sg(kps)) ** 2).sum(-1)).mean() / ext_scale
+    # Detach the whole diff (reference detaches (reg_kps - kps) entirely,
+    # trainer.py:437-441) so no gradient can leak into reg_kps anchors.
+    mpjpc = jnp.sqrt((sg(reg_kps - kps) ** 2).sum(-1)).mean() / ext_scale
     out = {'kp_loss': kp_loss, 'temp_loss': temp_loss, 'mpjpc': mpjpc}
     if gt_kps is not None:
         out['kp_gt_dist'] = jnp.linalg.norm(

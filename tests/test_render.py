@@ -335,3 +335,15 @@ def test_overlay_mesh_composites():
     assert mask.any()
     # untouched pixels keep the original image
     assert (out[~mask] == 0.).all()
+    # principal point defaults to (W/2, H/2): the origin-adjacent mesh seen
+    # by a camera on the +z axis must land near the image center, not the
+    # top-left corner (regression for the shadowed-`center` bug).
+    ys, xs = np.nonzero(mask)
+    assert 16 < xs.mean() < 48 and 16 < ys.mean() < 48
+    # an explicit principal point shifts the projection accordingly
+    _, mask_pp = rasterize_mesh(verts, faces, 64, 64, c2w=c2w, focal=60.,
+                                center=np.array([48., 32.]),
+                                return_mask=True)
+    ys2, xs2 = np.nonzero(mask_pp)
+    assert xs2.mean() > xs.mean() + 8
+    assert abs(ys2.mean() - ys.mean()) < 2
