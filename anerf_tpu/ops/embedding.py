@@ -118,7 +118,7 @@ def embed(inputs: jnp.ndarray,
         D = C // J
         dists_e = jnp.repeat(dists, D, axis=-1)            # (..., J*D)
         cutoff_e = jnp.repeat(cutoff_dist, D, axis=-1)     # (J*D,)
-        x = inputs
+        x = x_f = inputs
     else:
         # inputs ARE the distances (e.g. RelDist): C == J.
         dists_e = inputs
@@ -127,10 +127,16 @@ def embed(inputs: jnp.ndarray,
         if cfg.cut_to_cutoff:
             x = cutoff_dist - x
         if cfg.shift_inputs:
-            x = x * (2. / cutoff_dist) - 1.
+            # Only the frequency inputs are shifted to span [-1, 1]; the
+            # raw include-input row stays unshifted (the reference keeps
+            # `inputs` and builds a separate `shifted` local,
+            # cutoff_embedder.py:129-134).
+            x_f = x * (2. / cutoff_dist) - 1.
+        else:
+            x_f = x
 
     # (..., F, C)
-    x_freq = freq[:, None] * x[..., None, :]
+    x_freq = freq[:, None] * x_f[..., None, :]
 
     v = tau * (dists_e - cutoff_e)
     w = 1. - jax.nn.sigmoid(v)[..., None, :]               # (..., 1, C)

@@ -266,7 +266,11 @@ def make_train_step(setup: TrainSetup) -> Callable:
                 lambda g: g * use_pose_f, g_pose)
             accum = jax.tree_util.tree_map(
                 lambda a, g: a + g, state['pose_accum'], g_pose)
-            fire = jnp.logical_and((step % cfg.opt_pose_step) == 0, use_pose)
+            # our step s is reference iteration i = s+1 (run_nerf.py:530-538
+            # loops from 1): the first pose step fires only after
+            # opt_pose_step gradients have accumulated (trainer.py:475-477).
+            fire = jnp.logical_and(((step + 1) % cfg.opt_pose_step) == 0,
+                                   use_pose)
             p_updates, p_opt_state = pose_tx.update(
                 accum, state['pose_opt_state'], state['pose_params'])
             p_new = optax.apply_updates(state['pose_params'], p_updates)

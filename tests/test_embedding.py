@@ -25,13 +25,15 @@ def oracle_cutoff_embed(x, dists, cutoff, tau, F, cutoff_inputs=True,
         cutoff_e = cutoff
         if cut_to_cutoff:
             x = cutoff - x
-        if shift_inputs:
-            x = x * (2. / cutoff) - 1.
+    # shift applies to the frequency inputs only; the raw include-input
+    # row stays unshifted (reference cutoff_embedder.py:129-134 builds a
+    # separate `shifted` local and still cats `inputs`).
+    x_f = x * (2. / cutoff) - 1. if shift_inputs else x
     freqs = 2.0 ** np.arange(F)
     w = 1. - sigmoid(tau * (dists - cutoff_e))      # (..., C)
     rows = [x]
     for i, f in enumerate(freqs):
-        s, c = np.sin(f * x), np.cos(f * x)
+        s, c = np.sin(f * x_f), np.cos(f * x_f)
         if sched_w is not None:
             s, c = s * sched_w[2 * i], c * sched_w[2 * i + 1]
         rows.extend([s, c])

@@ -90,26 +90,26 @@ def test_train_step_with_pose_opt_updates_bank():
     step = jax.jit(make_train_step(setup))
     b0 = np.asarray(state['pose_params']['bones']).copy()
 
+    # step counter 0 == reference iteration 1: accumulate only — the first
+    # pose step happens after opt_pose_step grads (ref trainer.py:475-477)
     state, stats = step(state, batch, jax.random.PRNGKey(1))
-    # step counter was 0: 0 % 2 == 0 -> pose fires immediately
     b1 = np.asarray(state['pose_params']['bones'])
-    assert np.abs(b1 - b0).max() > 0
+    np.testing.assert_array_equal(b1, b0)
+    assert float(jnp.linalg.norm(state['pose_accum']['bones'])) > 0
     assert 'kp_loss' in stats and 'mpjpc' in stats
 
-    # next step (counter 1): accumulate only, no pose change
+    # counter 1 (ref iter 2, 2 % 2 == 0): fires and resets the accumulator
     state, stats = step(state, batch, jax.random.PRNGKey(2))
     b2 = np.asarray(state['pose_params']['bones'])
-    np.testing.assert_array_equal(b1, b2)
-    accum_norm = float(
-        jnp.linalg.norm(state['pose_accum']['bones']))
-    assert accum_norm > 0
-
-    # counter 2 : fires again and resets the accumulator
-    state, stats = step(state, batch, jax.random.PRNGKey(3))
-    b3 = np.asarray(state['pose_params']['bones'])
-    assert np.abs(b3 - b2).max() > 0
+    assert np.abs(b2 - b1).max() > 0
     np.testing.assert_allclose(
         np.asarray(state['pose_accum']['bones']), 0.)
+
+    # counter 2 (ref iter 3): accumulate only, no pose change
+    state, stats = step(state, batch, jax.random.PRNGKey(3))
+    b3 = np.asarray(state['pose_params']['bones'])
+    np.testing.assert_array_equal(b3, b2)
+    assert float(jnp.linalg.norm(state['pose_accum']['bones'])) > 0
 
 
 def test_pose_stop_freezes_bank():
