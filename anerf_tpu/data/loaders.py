@@ -270,16 +270,27 @@ def map_data_to_n_views(img_paths, kp3d, bones, rest_pose, skts):
     return kp_map, kp_uidxs, kp3d, bones, skts
 
 
-def get_dataset(cfg, data_path: Optional[str] = None):
+def get_dataset(cfg, data_path: Optional[str] = None,
+                process_count: int = 1):
     """Build the (possibly concatenated / temporal) dataset
-    (reference load_data.py:87-143)."""
+    (reference load_data.py:87-143).
+
+    With ``process_count > 1`` each host's dataset samples only its
+    1/process_count slice of the per-image ray budget; the global batch
+    is stitched from the hosts' slices by
+    ``parallel.sharding.make_global_batch``.
+    """
     data_path = data_path or cfg.datadir
     subjects, dataset_types = list(cfg.subject), list(cfg.dataset_type)
     if len(subjects) > len(dataset_types):
         assert len(dataset_types) == 1
         dataset_types = dataset_types * len(subjects)
 
-    N_samples = cfg.N_rand // cfg.N_sample_images
+    per_img = cfg.N_rand // cfg.N_sample_images
+    assert per_img % process_count == 0, (
+        f'N_rand/N_sample_images ({per_img}) must divide evenly over '
+        f'{process_count} hosts')
+    N_samples = per_img // process_count
     N_nms = N_samples * cfg.P_nms
     assert N_samples <= cfg.N_rand
 
@@ -320,13 +331,18 @@ def get_dataset(cfg, data_path: Optional[str] = None):
     return dataset
 
 
-def load_data(cfg, data_path: Optional[str] = None):
+def load_data(cfg, data_path: Optional[str] = None,
+              process_index: int = 0, process_count: int = 1):
     """(prefetcher, render_data, data_attrs) — the trainer's data entry
-    point (reference load_data.py:71-84)."""
-    dataset = get_dataset(cfg, data_path)
+    point (reference load_data.py:71-84).  Pass this host's
+    process_index/count for multi-host training: the prefetcher then
+    yields per-host ray slices of the logical global batch."""
+    dataset = get_dataset(cfg, data_path, process_count=process_count)
     prefetcher = Prefetcher(dataset, N_images=cfg.N_sample_images,
                             n_workers=min(cfg.num_workers, 8),
-                            seed=cfg.seed, N_iter=cfg.n_iters + 10)
+                            seed=cfg.seed, N_iter=cfg.n_iters + 10,
+                            process_index=process_index,
+                            process_count=process_count)
     data_attrs = dataset.get_meta()
     render_data = dataset.get_render_data()
     return prefetcher, render_data, data_attrs

@@ -5,6 +5,21 @@ RandIntGenerator / ray_collate_fn, core/dataset.py:730-802 and
 core/load_data.py:71-84) with a torch-free threaded prefetcher.  h5py
 releases the GIL during reads, so a small thread pool keeps the TPU fed
 without the reference's worker processes.
+
+Multi-host: every host runs the same image sampler (same seed -> same
+image indices per step) but samples its own pixel slice per image, so
+the hosts' batches are disjoint-by-construction slices of one logical
+global batch — assembled into global arrays by
+``parallel.sharding.make_global_batch``.  This is the per-host analog
+of the reference's single-host DataLoader feeding DataParallel
+(core/load_data.py:78-80).
+
+Determinism: batch ``i`` is sampled with an RNG keyed on
+``(seed, i, process_index)`` regardless of which worker thread produced
+it, and the consumer releases batches strictly in index order, so two
+runs with the same seed see the identical batch stream at any worker
+count (the reference makes the same promise via its seeded DataLoader
+workers).
 """
 from __future__ import annotations
 
@@ -60,12 +75,14 @@ def ray_collate(items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
 
 
 class Prefetcher:
-    """Threaded batch producer: each worker samples a full image-batch
-    and collates it; consumers pull ready batches from a queue."""
+    """Threaded batch producer: workers sample whole image-batches and
+    collate them; the consumer receives batches strictly in sample-index
+    order (seed-deterministic at any worker count)."""
 
     def __init__(self, dataset, N_images: int, n_workers: int = 4,
                  buffer_size: int = 8, seed: int = 0,
-                 N_iter: Optional[int] = None):
+                 N_iter: Optional[int] = None,
+                 process_index: int = 0, process_count: int = 1):
         self.dataset = dataset
         self.N_images = N_images
         self.n_workers = max(1, n_workers)
@@ -73,30 +90,59 @@ class Prefetcher:
         self.idx_q: 'queue.Queue' = queue.Queue(maxsize=buffer_size * 2)
         self.seed = seed
         self.N_iter = N_iter
+        self.process_index = process_index
+        self.process_count = process_count
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
         self._started = False
 
+    def _put(self, q, item) -> bool:
+        """Bounded put that aborts when the pipeline is stopping (avoids
+        workers blocking forever on a full queue at shutdown)."""
+        while not self._stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _feeder(self):
+        # same seed on every host: all hosts agree on the image indices
+        # of global batch i; they differ only in which pixels they sample.
         sampler = RayImageSampler(len(self.dataset), self.N_images,
                                   self.N_iter, seed=self.seed)
         for i, idxs in enumerate(sampler):
-            if self._stop.is_set():
+            if not self._put(self.idx_q, (i, idxs)):
                 return
-            self.idx_q.put((i, idxs))
         for _ in range(self.n_workers):
-            self.idx_q.put(None)
+            if not self._put(self.idx_q, None):
+                return
 
     def _worker(self, wid: int):
-        rng = np.random.default_rng(self.seed * 1000 + wid)
         while not self._stop.is_set():
-            task = self.idx_q.get()
+            try:
+                task = self.idx_q.get(timeout=0.1)
+            except queue.Empty:
+                continue
             if task is None:
-                self.q.put(None)
+                self._put(self.q, None)
                 return
             i, idxs = task
-            items = [self.dataset.get_item(int(idx), rng) for idx in idxs]
-            self.q.put((i, ray_collate(items)))
+            # keyed on the batch index (not the worker id): the sampled
+            # pixels don't depend on thread scheduling.  process_index
+            # makes each host draw its own (disjoint-by-randomness)
+            # pixel slice of the logical global batch.
+            rng = np.random.default_rng(
+                [self.seed, i, self.process_index])
+            try:
+                items = [self.dataset.get_item(int(idx), rng)
+                         for idx in idxs]
+            except Exception:
+                if self._stop.is_set():     # dataset torn down at shutdown
+                    return
+                raise
+            self._put(self.q, (i, ray_collate(items)))
 
     def start(self):
         if self._started:
@@ -113,14 +159,23 @@ class Prefetcher:
     def __iter__(self):
         self.start()
         done = 0
+        pending: Dict[int, Any] = {}
+        next_i = 0
         while True:
+            while next_i in pending:        # release strictly in order
+                yield pending.pop(next_i)
+                next_i += 1
             item = self.q.get()
             if item is None:
                 done += 1
                 if done == self.n_workers:
+                    for j in sorted(pending):
+                        yield pending[j]
                     return
                 continue
-            yield item[1]
+            pending[item[0]] = item[1]
 
     def stop(self):
         self._stop.set()
+        for t in self._threads:
+            t.join(timeout=1.0)

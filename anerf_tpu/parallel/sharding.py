@@ -13,11 +13,49 @@ embedding-row sparsity, pose_opt.py:282-295).
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Sequence
+import os
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as Pspec
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> Tuple[int, int]:
+    """Bring up the multi-host JAX runtime when one is configured.
+
+    TPU-native replacement for the reference's (absent) distributed
+    backend — the reference scales only by in-process ``nn.DataParallel``
+    (core/raycasters.py:157).  Here every host joins one
+    ``jax.distributed`` job; afterwards ``jax.devices()`` spans the pod
+    and a single ``Mesh(('data',))`` shards rays globally, with gradient
+    psums riding ICI within a slice and DCN across slices.
+
+    Safe to call unconditionally: single-process runs (no coordinator
+    env/args) are a no-op.  Returns (process_index, process_count).
+    """
+    from jax._src import xla_bridge
+    if jax.process_count() > 1 or xla_bridge.backends_are_initialized():
+        # already running distributed, or too late to initialize (a JAX
+        # call has already brought the backend up single-process)
+        return jax.process_index(), jax.process_count()
+    addr = coordinator_address or os.environ.get(
+        'JAX_COORDINATOR_ADDRESS') or os.environ.get('COORDINATOR_ADDRESS')
+    nproc = num_processes if num_processes is not None else int(
+        os.environ.get('JAX_NUM_PROCESSES', '0') or 0)
+    pid = process_id if process_id is not None else int(
+        os.environ.get('JAX_PROCESS_ID', '-1') or -1)
+    workers = [w for w in os.environ.get('TPU_WORKER_HOSTNAMES', ''
+                                         ).split(',') if w]
+    if addr and nproc > 1 and pid >= 0:
+        jax.distributed.initialize(coordinator_address=addr,
+                                   num_processes=nproc, process_id=pid)
+    elif len(workers) > 1 or os.environ.get('MEGASCALE_COORDINATOR_ADDRESS'):
+        # multi-worker TPU pod slices self-describe; let jax auto-detect.
+        jax.distributed.initialize()
+    return jax.process_index(), jax.process_count()
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -45,23 +83,59 @@ def shard_batch(mesh: Mesh, batch: Dict[str, Any],
             for k, v in batch.items()}
 
 
+def make_global_batch(mesh: Mesh, local_batch: Dict[str, Any],
+                      axis_name: str = 'data') -> Dict[str, Any]:
+    """Assemble a globally-sharded batch from THIS host's ray slice.
+
+    The multi-host analog of the reference's DataLoader feeding
+    ``nn.DataParallel`` scatter (core/load_data.py:78-80 +
+    core/raycasters.py:157): each host's input pipeline produces
+    ``N_rand / process_count`` rays; this stitches them into global
+    ``jax.Array``s sharded on the leading (ray) axis without any
+    cross-host data movement — every device keeps the shard its own
+    host loaded.
+    """
+    sh = batch_sharding(mesh, axis_name)
+    out: Dict[str, Any] = {}
+    for k, v in local_batch.items():
+        if v is None:
+            out[k] = None
+        elif isinstance(v, jax.Array) and v.sharding == sh:
+            out[k] = v
+        else:
+            out[k] = jax.make_array_from_process_local_data(
+                sh, np.asarray(v))
+    return out
+
+
 def shard_train_step(train_step: Callable, mesh: Mesh,
-                     axis_name: str = 'data') -> Callable:
+                     axis_name: str = 'data',
+                     global_batch: bool = False) -> Callable:
     """jit the train step with batch sharded over rays and state
     replicated.  Loss means/grad sums become ICI all-reduces placed by
-    XLA's SPMD partitioner."""
-    rep = replicated(mesh)
-    data = batch_sharding(mesh, axis_name)
+    XLA's SPMD partitioner.
 
-    def batch_spec(batch):
-        return {k: (data if v is not None else None)
-                for k, v in batch.items()}
+    With ``global_batch=True`` the incoming batch is treated as this
+    process's local shard and stitched into global arrays via
+    ``make_global_batch`` (the multi-host input path); otherwise the
+    full batch is device_put-sharded from one host (single-process).
+    """
+    data = batch_sharding(mesh, axis_name)
 
     jitted = jax.jit(train_step, donate_argnums=(0,))
 
+    def put(v):
+        if v is None:
+            return None
+        if isinstance(v, jax.Array) and v.sharding == data:
+            return v
+        return jax.device_put(v, data)
+
     def step(state, batch, rng):
-        batch = {k: (jax.device_put(v, data) if v is not None else None)
-                 for k, v in batch.items()}
+        if global_batch:
+            batch = make_global_batch(mesh, batch, axis_name)
+        else:
+            batch = {k: put(v) for k, v in batch.items()}
         return jitted(state, batch, rng)
 
     step.lower = lambda state, batch, rng: jitted.lower(state, batch, rng)

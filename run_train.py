@@ -22,7 +22,8 @@ def train(cfg):
 
     from anerf_tpu.data.loaders import load_data
     from anerf_tpu.models.factory import (build_raycast_config, embed_state)
-    from anerf_tpu.parallel.sharding import (make_mesh, replicate_state,
+    from anerf_tpu.parallel.sharding import (init_distributed, make_mesh,
+                                             replicate_state,
                                              shard_train_step)
     from anerf_tpu.render.renderer import ImageRenderer
     from anerf_tpu.training import pose_opt as P
@@ -38,13 +39,21 @@ def train(cfg):
     from anerf_tpu.utils.config import save_args_txt
     from anerf_tpu.utils.logging import (MetricLogger, draw_skeleton_2d)
 
-    logdir = os.path.join(cfg.basedir, cfg.expname)
-    os.makedirs(logdir, exist_ok=True)
-    save_args_txt(cfg, logdir)
-    logger = MetricLogger(logdir)
+    # multi-host: join the jax.distributed job when one is configured
+    # (single-process runs are a no-op).  Only host 0 writes checkpoints,
+    # logs, and validation renders.
+    proc_idx, proc_cnt = init_distributed()
+    is_host0 = proc_idx == 0
 
-    # --- data ---
-    prefetcher, render_data, data_attrs = load_data(cfg)
+    logdir = os.path.join(cfg.basedir, cfg.expname)
+    if is_host0:
+        os.makedirs(logdir, exist_ok=True)
+        save_args_txt(cfg, logdir)
+    logger = MetricLogger(logdir) if is_host0 else None
+
+    # --- data (this host's ray slice of the global batch) ---
+    prefetcher, render_data, data_attrs = load_data(
+        cfg, process_index=proc_idx, process_count=proc_cnt)
     n_framecodes = int(data_attrs['n_views'])
     rest_pose = np.asarray(data_attrs['rest_pose'], np.float32)
 
@@ -84,11 +93,12 @@ def train(cfg):
             state, start = restore_train_state(
                 state, load_checkpoint(ckpt_path), finetune=cfg.finetune)
 
-    # --- sharding over the device mesh ---
+    # --- sharding over the (possibly multi-host) device mesh ---
     n_dev = cfg.n_devices or jax.device_count()
     mesh = make_mesh(n_dev)
     state = replicate_state(mesh, state)
-    step_fn = shard_train_step(make_train_step(setup), mesh)
+    step_fn = shard_train_step(make_train_step(setup), mesh,
+                               global_batch=proc_cnt > 1)
 
     renderer = ImageRenderer(rc, state['params'],
                              embed_state(cfg, rc, start),
@@ -103,11 +113,12 @@ def train(cfg):
     for batch in prefetcher:
         if i >= cfg.n_iters:
             break
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if proc_cnt == 1:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, stats = step_fn(state, batch, jax.random.fold_in(rng, i))
         i += 1
 
-        if i % cfg.i_print == 0:
+        if i % cfg.i_print == 0 and is_host0:
             scalars = {k: v for k, v in stats.items()}
             dt = time.time() - t_last
             scalars['rays_per_sec'] = cfg.N_rand * cfg.i_print / dt
@@ -118,14 +129,14 @@ def train(cfg):
             print(f'[{i}] loss={loss:.5f} psnr={psnr_v:.2f} '
                   f"rays/s={scalars['rays_per_sec']:.0f}")
 
-        if i % cfg.i_weights == 0:
+        if i % cfg.i_weights == 0 and is_host0:
             path = save_checkpoint(logdir, state, i, anchors=anchors)
             print('Saved checkpoint at', path)
 
-        if cfg.opt_pose and i % cfg.i_pose_weights == 0:
+        if cfg.opt_pose and i % cfg.i_pose_weights == 0 and is_host0:
             save_pose_checkpoint(logdir, state, i, anchors=anchors)
 
-        if i % cfg.i_testset == 0 and render_data is not None:
+        if i % cfg.i_testset == 0 and render_data is not None and is_host0:
             renderer.params = state['params']
             renderer.state = embed_state(cfg, rc, i)
             out = renderer.render_path(render_data, ext_scale=cfg.ext_scale,
@@ -153,9 +164,10 @@ def train(cfg):
             except Exception as e:
                 print('skeleton overlay failed:', e)
 
-    save_checkpoint(logdir, state, i, anchors=anchors)
+    if is_host0:
+        save_checkpoint(logdir, state, i, anchors=anchors)
+        logger.close()
     prefetcher.stop()
-    logger.close()
     print('Training done at step', i)
     return state
 

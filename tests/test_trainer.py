@@ -169,3 +169,41 @@ def test_photometric_gradient_reaches_pose_bank():
     state, _ = step(state, batch, jax.random.PRNGKey(0))
     assert np.abs(np.asarray(state['pose_params']['bones']) - b0).max() > 0
     assert np.abs(np.asarray(state['pose_params']['pelvis']) - p0).max() > 0
+
+
+def test_global_batch_train_step_matches_single_device():
+    """The multi-host input path (per-process local slices stitched into
+    global sharded arrays by make_global_batch /
+    jax.make_array_from_process_local_data) must reproduce single-device
+    math on the 8-device CPU mesh."""
+    cfg = tiny_config(opt_pose=True, opt_pose_step=1, opt_pose_coef=0.1)
+    setup, batch, (kps, bones) = make_setup_and_batch(cfg)
+    state_a = init_train_state(setup, jax.random.PRNGKey(0),
+                               init_kp3d=kps, init_bones=bones)
+    state_b = jax.tree_util.tree_map(lambda x: x.copy() if x is not None
+                                     else None, state_a)
+    fn = make_train_step(setup)
+
+    single = jax.jit(fn)
+    state_a, stats_a = single(state_a, batch, jax.random.PRNGKey(5))
+
+    mesh = make_mesh(8)
+    state_b = replicate_state(mesh, state_b)
+    sharded = shard_train_step(fn, mesh, global_batch=True)
+    local = {k: np.asarray(v) for k, v in batch.items()}
+    state_b, stats_b = sharded(state_b, local, jax.random.PRNGKey(5))
+
+    np.testing.assert_allclose(float(stats_a['total_loss']),
+                               float(stats_b['total_loss']), rtol=2e-5)
+    pa = np.asarray(state_a['params']['coarse']['rgb_linear']['w'])
+    pb = np.asarray(state_b['params']['coarse']['rgb_linear']['w'])
+    np.testing.assert_allclose(pa, pb, atol=2e-6)
+    ba = np.asarray(state_a['pose_params']['bones'])
+    bb = np.asarray(state_b['pose_params']['bones'])
+    np.testing.assert_allclose(ba, bb, atol=2e-6)
+
+
+def test_init_distributed_single_process_noop():
+    from anerf_tpu.parallel.sharding import init_distributed
+    pidx, pcnt = init_distributed()
+    assert pidx == 0 and pcnt == 1
