@@ -71,6 +71,8 @@ def ray_collate(items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
         out['kp_idx'] = out['kp_idx'].astype(np.int32)
     if 'cam_idxs' in out:
         out['cam_idxs'] = out['cam_idxs'].astype(np.int32)
+    if 'subject_idxs' in out:
+        out['subject_idxs'] = out['subject_idxs'].astype(np.int32)
     return out
 
 

@@ -148,3 +148,65 @@ def pose_metrics(pred_kps: np.ndarray, gt_kps: np.ndarray,
             'pa_mpjpe': float(np.mean(pa_mpjpes)),
             f'pck@{pck_threshold:.0f}': pck,
             'auc': auc}
+
+
+def pose_metrics_from_smpl_params(gt_kps: np.ndarray,
+                                  bones: np.ndarray,
+                                  pelvis: Optional[np.ndarray] = None,
+                                  betas: Optional[np.ndarray] = None,
+                                  rest_pose: Optional[np.ndarray] = None,
+                                  scale_to_mm: float = 1000.,
+                                  pck_threshold: float = 150.,
+                                  ) -> Dict[str, float]:
+    """Pose accuracy of refined SMPL parameters vs GT joints.
+
+    The reference ``evaluate_pampjpe_from_smpl_params``
+    (evaluation_helpers.py:541-612) runs the smplx body model on
+    (betas, bones) and regresses H36M joints from the vertices; here the
+    predicted joints come from our own differentiable FK on the
+    betas-derived rest pose (data/spin.py rest_pose_from_betas, smplx
+    optional — pass a precomputed ``rest_pose`` to skip it), which
+    evaluates the same refined pose parameters without SMPL model files.
+
+    MPJPE is root-centered like the reference's pelvis centering
+    (:585-588); PA-MPJPE/PCK/AUC are Procrustes-aligned per frame.
+
+    Args:
+      gt_kps: (N, J, 3) ground-truth joints (same units as rest_pose).
+      bones: (N, J, 3) axis-angle pose parameters.
+      pelvis: (N, 3) root translations; zeros if None (MPJPE is
+        root-centered, so translation only matters through FK).
+      betas / rest_pose: one of the two must be given.
+    """
+    import jax.numpy as jnp
+    from ..ops.fk import fk
+
+    if rest_pose is None:
+        from ..data.spin import rest_pose_from_betas
+        assert betas is not None, 'need betas or rest_pose'
+        rest_pose = rest_pose_from_betas(np.atleast_2d(betas))
+    bones = np.asarray(bones, np.float32)
+    if pelvis is None:
+        pelvis = np.zeros((len(bones), 3), np.float32)
+    kps, _, _, _ = fk(jnp.asarray(bones), jnp.asarray(pelvis),
+                      jnp.asarray(np.asarray(rest_pose, np.float32)))
+    pred = np.asarray(kps)
+    gt = np.asarray(gt_kps, np.float32)
+
+    # root-center both sides for the translation-free MPJPE
+    pred_c = pred - pred[:, :1]
+    gt_c = gt - gt[:, :1]
+    mpjpes, pa_mpjpes, all_err = [], [], []
+    for p, g, pc, gc in zip(pred, gt, pred_c, gt_c):
+        mpjpes.append(np.linalg.norm(pc - gc, axis=-1).mean() * scale_to_mm)
+        pa = procrustes(p, g)
+        pa_err = np.linalg.norm(pa - g, axis=-1) * scale_to_mm
+        pa_mpjpes.append(pa_err.mean())
+        all_err.append(pa_err)
+    all_err = np.concatenate(all_err)
+    ths = np.linspace(0., 150., 31)
+    return {'mpjpe': float(np.mean(mpjpes)),
+            'pa_mpjpe': float(np.mean(pa_mpjpes)),
+            f'pck@{pck_threshold:.0f}': float(
+                (all_err < pck_threshold).mean()),
+            'auc': float(np.mean([(all_err < t).mean() for t in ths]))}

@@ -23,8 +23,13 @@ from .raycaster import RayCastConfig
 
 def build_raycast_config(cfg: Config,
                          skel: Skeleton = SMPLSkeleton,
-                         n_framecodes: int = 0) -> RayCastConfig:
+                         n_framecodes: int = 0,
+                         n_subjects: int = 1) -> RayCastConfig:
     n_joints = skel.n_joints
+    # cfg.n_subjects overrides the dataset-derived count when set
+    # (reference run_nerf.py:306 --n_subjects)
+    if cfg.n_subjects is not None:
+        n_subjects = cfg.n_subjects
     _, input_dims, cutoff_dims = encoders.get_kp_input_fn(
         cfg.kp_dist_type, n_joints)
     _, bone_dims = encoders.get_bone_input_fn(cfg.bone_type, n_joints)
@@ -40,6 +45,7 @@ def build_raycast_config(cfg: Config,
         cutoff_inputs=cfg.cutoff_inputs,
         cut_to_cutoff=cfg.cut_to_dist,
         shift_inputs=cfg.cutoff_shift,
+        normalize=cfg.normalize_cutoff,
         freq_schedule=cfg.freq_schedule,
         init_alpha=cfg.init_freq,
         cutoff_dim=cutoff_dims,
@@ -52,6 +58,7 @@ def build_raycast_config(cfg: Config,
         cutoff=cfg.use_cutoff and cfg.cutoff_bones and bone_dims > 0,
         dist_inputs=True,
         cutoff_inputs=cfg.cutoff_inputs,
+        normalize=cfg.normalize_cutoff,
         freq_schedule=cfg.freq_schedule,
         init_alpha=cfg.init_freq,
         cutoff_dim=cutoff_dims,
@@ -63,6 +70,7 @@ def build_raycast_config(cfg: Config,
         cutoff=cfg.use_cutoff and cfg.cutoff_viewdir,
         dist_inputs=True,
         cutoff_inputs=cfg.cutoff_inputs,
+        normalize=cfg.normalize_cutoff,
         freq_schedule=cfg.freq_schedule,
         init_alpha=cfg.init_freq,
         cutoff_dim=n_joints,
@@ -84,6 +92,7 @@ def build_raycast_config(cfg: Config,
         framecode_ch=cfg.framecode_size,
         n_framecodes=(cfg.n_framecodes if cfg.n_framecodes is not None
                       else n_framecodes),
+        n_subjects=n_subjects,
         output_ch=5 if cfg.N_importance > 0 else 4,
         compute_dtype=(jnp.bfloat16 if cfg.compute_dtype == 'bfloat16'
                        else jnp.float32),
@@ -97,6 +106,7 @@ def build_raycast_config(cfg: Config,
 
     return RayCastConfig(
         nerf=nerf,
+        n_subjects=n_subjects,
         mlp_backend=mlp_backend,
         remat=cfg.remat,
         kp_embed=kp_embed,

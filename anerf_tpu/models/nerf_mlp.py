@@ -39,6 +39,7 @@ class NeRFConfig:
     use_framecode: bool = False    # args.opt_framecode
     framecode_ch: int = 16
     n_framecodes: int = 0
+    n_subjects: int = 1            # >1: subject-idx channel on the view net
     output_ch: int = 4             # only used when not use_viewdirs
     compute_dtype: Any = jnp.float32
 
@@ -49,7 +50,12 @@ class NeRFConfig:
     @property
     def vnet_input(self) -> int:
         off = self.framecode_ch if self.use_framecode else 0
-        return self.input_ch_views + off + self.width
+        # multi-subject: the raw subject index rides as one extra view
+        # channel (reference raycasters.py:545-548 appends it to `d`;
+        # its NeRF.forward split however never accounts for the extra
+        # channel and crashes — we size the views_linear correctly)
+        subj = 1 if self.n_subjects > 1 else 0
+        return self.input_ch_views + subj + off + self.width
 
 
 def _linear_init(key, fan_in: int, fan_out: int):

@@ -51,6 +51,7 @@ class RayCastConfig:
     kp_dist_type: str = 'reldist'
     view_type: str = 'relray'
     bone_type: str = 'reldir'
+    n_subjects: int = 1
     # cutoff radii are a frozen buffer in the reference
     # (cutoff_embedder.py:91, requires_grad=False) unless --opt_cutoff
     opt_cutoff: bool = False
@@ -132,7 +133,8 @@ def encode_inputs(rc: RayCastConfig,
     return v, r, d
 
 
-def _run_network(rc: RayCastConfig, net_params, v, r, d, cam_idxs):
+def _run_network(rc: RayCastConfig, net_params, v, r, d, cam_idxs,
+                 subject_idxs=None):
     """Run the MLP on the encodings (reference raycasters.py:557-577 +
     nerf.py:133-148), keeping (R, S) structure.
 
@@ -141,6 +143,18 @@ def _run_network(rc: RayCastConfig, net_params, v, r, d, cam_idxs):
     the reference materializes are folded into split matmuls in VMEM,
     removing ~700 MB/step of HBM concat/slice traffic at flagship size.
     """
+    if rc.n_subjects > 1 and d is not None:
+        # multi-subject: the raw per-ray subject index rides as one
+        # extra view channel (reference raycasters.py:545-548; its
+        # views_linear sizing never accounted for it — fixed here)
+        if subject_idxs is None:
+            subj = jnp.zeros(d.shape[:2] + (1,), d.dtype)
+        else:
+            subj = jnp.broadcast_to(
+                subject_idxs.astype(d.dtype)[:, None, None],
+                d.shape[:2] + (1,))
+        d = jnp.concatenate([d, subj], axis=-1)
+
     codes = None
     if rc.nerf.use_framecode and cam_idxs is not None:
         # per-RAY lookup broadcast over samples: the backward collapses
@@ -199,6 +213,7 @@ def render_rays(rc: RayCastConfig,
                 pose: Dict[str, jnp.ndarray],
                 state: Optional[Dict[str, jnp.ndarray]] = None,
                 cam_idxs: Optional[jnp.ndarray] = None,
+                subject_idxs: Optional[jnp.ndarray] = None,
                 rng: Optional[jax.Array] = None,
                 fixed: Optional[Dict[str, jnp.ndarray]] = None,
                 ) -> Dict[str, jnp.ndarray]:
@@ -254,7 +269,7 @@ def render_rays(rc: RayCastConfig,
     # per-sample encodings never touch HBM — distances, cutoff windows,
     # PE, and the MLP all run per tile in VMEM (ops/pallas_encmlp.py).
     fused_net = None
-    if rc.mlp_backend == 'pallas':
+    if rc.mlp_backend == 'pallas' and rc.n_subjects == 1:
         from ..ops import pallas_encmlp as PE
         if PE.supported_config(rc):
             skts = pose['skts']
@@ -282,7 +297,8 @@ def render_rays(rc: RayCastConfig,
         if key not in enc_cache:  # reuse encodings across coarse/fine nets
             enc_cache[key] = encode_fn(params, q_pts)
         vv, rr, dd = enc_cache[key]
-        return _run_network(rc, net_params, vv, rr, dd, cam_idxs)
+        return _run_network(rc, net_params, vv, rr, dd, cam_idxs,
+                            subject_idxs=subject_idxs)
 
     raw = run_pass(params['coarse'], pts, 'coarse')
 

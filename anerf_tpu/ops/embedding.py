@@ -36,6 +36,14 @@ class EmbedConfig:
     cutoff_inputs: bool = False        # window the raw-input row too
     cut_to_cutoff: bool = False        # x <- cutoff - x    (cut_to_dist)
     shift_inputs: bool = False         # x <- 2x/cutoff - 1 (cutoff_shift)
+    # L2-normalize each 3-channel feature group, zeroing groups whose
+    # window weight ~ 0.  The reference's branch (cutoff_embedder.py:
+    # 161-170) is unreachable (create_raycaster passes the kwarg as
+    # 'normalize_cutoff' but the class takes 'normalize',
+    # raycasters.py:31-34) and crashes when forced (its w.view(-1,3)
+    # has rows/(1+2F) fewer rows than embedded.view(-1,3)); this is the
+    # evident intent with the weight broadcast done correctly.
+    normalize: bool = False
     freq_schedule: bool = False        # BARF-style coarse-to-fine
     init_alpha: float = 0.
     cutoff_dim: int = 24               # J: number of joints (window count)
@@ -148,6 +156,13 @@ def embed(inputs: jnp.ndarray,
         assert alpha is not None
         enc = enc * _schedule_w(cfg, alpha)
 
+    if cfg.normalize and enc.shape[:-2] != dists_e.shape[:-1]:
+        # the group normalization couples channels with the per-sample
+        # window: materialize the broadcast and use the plain path
+        lead = dists_e.shape[:-1]
+        enc = jnp.broadcast_to(enc, lead + enc.shape[-2:])
+        x = jnp.broadcast_to(x, lead + (C,))
+
     if enc.shape[:-2] != dists_e.shape[:-1]:
         # x is constant along a broadcast axis of the window (e.g. view
         # dirs: per-ray x vs per-sample dists).  Pin the small sin/cos
@@ -184,6 +199,17 @@ def embed(inputs: jnp.ndarray,
         enc = jnp.concatenate([x[..., None, :], enc * w], axis=-2)
     else:
         enc = enc * w
+
+    if cfg.normalize:
+        assert C % 3 == 0, 'normalize_cutoff needs 3-channel groups'
+        g = enc.reshape(enc.shape[:-1] + (C // 3, 3))
+        norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+        g = g / jnp.maximum(norm, 1e-12)
+        # zero groups whose window weight vanished ("weights are the
+        # same for all 3 dims": take the group's first channel)
+        w_g = w.reshape(w.shape[:-1] + (C // 3, 3))[..., :1]
+        g = jnp.where(jnp.isclose(w_g, 0., atol=1e-6), 0., g)
+        enc = g.reshape(enc.shape)
 
     return enc.reshape(enc.shape[:-2] + (enc.shape[-2] * C,)), w
 

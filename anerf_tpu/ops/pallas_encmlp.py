@@ -382,6 +382,7 @@ def supported_config(rc) -> bool:
     return (rc.kp_dist_type == 'reldist' and rc.bone_type == 'reldir'
             and rc.view_type == 'relray' and rc.use_viewdirs
             and not rc.opt_cutoff
+            and not (ke.normalize or be.normalize or ve.normalize)
             and ke.cutoff and ke.cutoff_inputs and ke.include_input
             and not ke.cut_to_cutoff and not ke.shift_inputs
             and not ke.freq_schedule and ke.num_freqs > 0

@@ -76,11 +76,15 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
 
 
 def restore_train_state(state: Dict[str, Any], ckpt: Dict[str, Any],
-                        finetune: bool = False) -> Tuple[Dict[str, Any], int]:
+                        finetune: bool = False,
+                        no_poseopt_reload: bool = False
+                        ) -> Tuple[Dict[str, Any], int]:
     """Restore a train state pytree from a checkpoint payload.
 
     ``finetune`` loads weights but resets step + optimizer state
-    (reference raycasters.py:140-142).
+    (reference raycasters.py:140-142).  ``no_poseopt_reload`` keeps the
+    data-derived pose bank instead of the checkpoint's
+    (reference pose_opt.py:51).
     """
     ckpt = dict(ckpt)
     ckpt.pop('anchors', None)
@@ -94,8 +98,31 @@ def restore_train_state(state: Dict[str, Any], ckpt: Dict[str, Any],
         if state.get('pose_opt_state') is not None:
             restored['pose_opt_state'] = state['pose_opt_state']
             restored['pose_accum'] = state['pose_accum']
+    if no_poseopt_reload:
+        restored = dict(restored)
+        for k in ('pose_params', 'pose_opt_state', 'pose_accum'):
+            restored[k] = state.get(k)
     step = int(ckpt['step']) if not finetune else 0
     return restored, step
+
+
+def load_pose_payload(path: str) -> Dict[str, Any]:
+    """Pose bank (+ anchors) from any checkpoint file: our msgpack
+    (full or pose-only) or a reference ``.tar``
+    (reference --init_poseopt, pose_opt.py:51-60)."""
+    if path.endswith('.tar'):
+        loaded = load_torch_checkpoint(path)
+    else:
+        loaded = load_checkpoint(path)
+    out: Dict[str, Any] = {}
+    if loaded.get('pose_params') is not None:
+        out['pose_params'] = loaded['pose_params']
+    if loaded.get('anchors') is not None:
+        out['anchors'] = loaded['anchors']
+    if 'pose_params' not in out:
+        raise ValueError(f'{path} holds no pose bank '
+                         '(expected pose_params / poseopt_layer_state_dict)')
+    return out
 
 
 def jax_to_numpy(tree):

@@ -65,11 +65,23 @@ class TrainSetup:
     cfg: Config
     rc: RayCastConfig
     skel: Skeleton
-    rest_pose: jnp.ndarray            # (J, 3) or (S, J, 3)
+    rest_pose: jnp.ndarray            # (J, 3) or (S, J, 3) per subject
     anchors: Optional[Dict[str, jnp.ndarray]] = None
     kp_map: Optional[jnp.ndarray] = None
+    # multi-subject: per-frame subject index into rest_pose's leading
+    # axis (ConcatH5Dataset meta rest_pose_idxs, dataset.py:686-691)
+    rest_pose_idxs: Optional[jnp.ndarray] = None
     near: float = 0.0
     far: float = 1.0
+
+    def frame_rest_pose(self, kp_idx: jnp.ndarray) -> jnp.ndarray:
+        """Rest pose rows for the indexed frames: (R, J, 3) when
+        multi-subject, else the shared (J, 3)."""
+        if self.rest_pose.ndim == 3 and self.rest_pose_idxs is not None:
+            return self.rest_pose[self.rest_pose_idxs[kp_idx]]
+        if self.rest_pose.ndim == 3:
+            return self.rest_pose[0]
+        return self.rest_pose
 
 
 def init_train_state(setup: TrainSetup, key: jax.Array,
@@ -117,7 +129,8 @@ def get_batch_pose(setup: TrainSetup, pose_params, batch
         return pose, {}
     kp_idx = batch['kp_idx']
     kps, bones, skts, _, rots = P.pose_fk(
-        pose_params, kp_idx, setup.rest_pose, setup.skel, setup.kp_map)
+        pose_params, kp_idx, setup.frame_rest_pose(kp_idx), setup.skel,
+        setup.kp_map)
     pose = {'kps': kps, 'skts': skts, 'bones': bones, 'cyls': batch['cyls']}
     return pose, {'rots': rots}
 
@@ -172,11 +185,11 @@ def compute_losses(setup: TrainSetup, out, batch, pose, extras,
             next_idx = (kp_idx + 1) % n_frames
             sg = jax.lax.stop_gradient
             pk, pb, _, _, pr = P.pose_fk(pose_params, prev_idx,
-                                         setup.rest_pose, setup.skel,
-                                         setup.kp_map)
+                                         setup.frame_rest_pose(prev_idx),
+                                         setup.skel, setup.kp_map)
             nk, nb, _, _, nr = P.pose_fk(pose_params, next_idx,
-                                         setup.rest_pose, setup.skel,
-                                         setup.kp_map)
+                                         setup.frame_rest_pose(next_idx),
+                                         setup.skel, setup.kp_map)
             if cfg.opt_rot6d:
                 from ..ops.rotations import rot_to_rot6d
                 pb, nb = rot_to_rot6d(pr), rot_to_rot6d(nr)
@@ -233,6 +246,7 @@ def make_train_step(setup: TrainSetup) -> Callable:
                 setup.near, setup.far, pose, est,
                 cam_idxs=(batch.get('cam_idxs')
                           if cfg.opt_framecode else None),
+                subject_idxs=batch.get('subject_idxs'),
                 rng=rng)
             total, stats = compute_losses(setup, out, batch, pose, extras,
                                           pose_params, use_pose_f)
@@ -247,6 +261,28 @@ def make_train_step(setup: TrainSetup) -> Callable:
             (total, stats), g_nerf = jax.value_and_grad(
                 loss_fn, has_aux=True)(state['params'], None)
             g_pose = None
+
+        if cfg.opt_pose and cfg.testopt:
+            # test-time pose optimization: the NeRF is frozen and only
+            # the pose bank refines (reference PoseOptFlipFlop.testopt,
+            # pose_opt.py:599,620-624).  Zeroed grads keep Adam moments
+            # at zero, so the network never moves.
+            g_nerf = tree_zeros_like(g_nerf)
+
+        if cfg.finetune and cfg.fix_layer > 0:
+            # freeze the first fix_layer density-trunk layers during
+            # finetuning (reference raycasters.py:215-217).  Zeroed
+            # grads keep the Adam moments at zero, so the parameters
+            # never move — equivalent to requires_grad=False.
+            g_nerf = dict(g_nerf)
+            for net in ('coarse', 'fine'):
+                if g_nerf.get(net) is None:
+                    continue
+                sub = dict(g_nerf[net])
+                sub['pts_linears'] = [
+                    (tree_zeros_like(l) if i < cfg.fix_layer else l)
+                    for i, l in enumerate(sub['pts_linears'])]
+                g_nerf[net] = sub
 
         # --- NeRF update (every step) ---
         updates, opt_state = nerf_tx.update(g_nerf, state['opt_state'],
@@ -269,8 +305,21 @@ def make_train_step(setup: TrainSetup) -> Callable:
             # our step s is reference iteration i = s+1 (run_nerf.py:530-538
             # loops from 1): the first pose step fires only after
             # opt_pose_step gradients have accumulated (trainer.py:475-477).
-            fire = jnp.logical_and(((step + 1) % cfg.opt_pose_step) == 0,
-                                   use_pose)
+            if cfg.opt_pose_joint or cfg.testopt:
+                # legacy FlipFlop scheduler path (reference
+                # pose_opt.py:584-727), reachable via --opt_pose_joint /
+                # --testopt: joint turns with the pose side firing every
+                # opt_pose_step inside the warmup/stop window
+                from . import flipflop as FF
+                ff = FF.FlipFlopConfig(
+                    opt_pose_step=cfg.opt_pose_step, opt_pose_joint=True,
+                    opt_pose_warmup=cfg.opt_pose_warmup,
+                    opt_pose_stop=cfg.opt_pose_stop, testopt=cfg.testopt)
+                _, pose_g = FF.update_gates(ff, step + 1)
+                fire = jnp.logical_and(pose_g > 0, use_pose)
+            else:
+                fire = jnp.logical_and(((step + 1) % cfg.opt_pose_step) == 0,
+                                       use_pose)
             p_updates, p_opt_state = pose_tx.update(
                 accum, state['pose_opt_state'], state['pose_params'])
             p_new = optax.apply_updates(state['pose_params'], p_updates)

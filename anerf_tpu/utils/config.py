@@ -74,7 +74,9 @@ class Config:
     nerf_type: str = 'nerf'
     density_type: str = 'relu'
     softplus_shift: float = 1.0
-    n_subjects: int = 2
+    # None: inferred from the dataset (ConcatH5Dataset meta n_subjects);
+    # set explicitly to override (reference run_nerf.py:306)
+    n_subjects: Optional[int] = None
 
     # per-frame codes
     opt_framecode: bool = False
@@ -103,7 +105,6 @@ class Config:
     num_workers: int = 16
     dataset_type: Tuple[str, ...] = ('h36m',)
     subject: Tuple[str, ...] = ('S9',)
-    camera: Optional[int] = None
     use_val: bool = False
     white_bkgd: bool = False
     ext_scale: float = 0.001
@@ -161,6 +162,26 @@ class Config:
     data_axis: str = 'data'          # mesh axis name for ray sharding
     n_devices: Optional[int] = None  # None = all visible devices
 
+    def __post_init__(self):
+        if self.nerf_type != 'nerf':
+            raise NotImplementedError(
+                f"nerf_type={self.nerf_type!r}: only 'nerf' is supported "
+                "(the reference's minerf branch, run_render.py:282, is a "
+                "separate unreleased model family)")
+        if self.weight_decay is not None:
+            raise ValueError(
+                'weight_decay is not supported: the reference branch '
+                '(raycasters.py:219-227) is an empty `pass` that silently '
+                'drops every trainable parameter — set it to None')
+        for name in _PARSED_ONLY:
+            if getattr(self, name) != _FIELD_TYPES[name].default:
+                import warnings
+                warnings.warn(
+                    f'config flag {name!r} is parsed for recipe parity but '
+                    'has NO consumer (same in the reference: the flag is '
+                    'a nerf-pytorch leftover that core/ never reads)',
+                    stacklevel=2)
+
     def to_args_txt(self) -> str:
         """Serialize in the reference args.txt format (sorted keys,
         ``key = value`` lines) for render-script round-trips."""
@@ -175,6 +196,10 @@ class Config:
 
 _FIELD_TYPES = {f.name: f for f in dataclasses.fields(Config)}
 _LIST_FIELDS = {'dataset_type', 'subject', 'val_seq'}
+# flags the reference parser accepts but core/ never reads (nerf-pytorch
+# leftovers; its shipped recipes still set the first two) — parsed for
+# recipe parity, warned on when set (see Config.__post_init__)
+_PARSED_ONLY = ('image_batching', 'fg_ratio', 'i_video', 'cutoff_ancestors')
 
 
 def _parse_value(name: str, raw: str):
@@ -191,34 +216,48 @@ def _parse_value(name: str, raw: str):
     return _parse_scalar(name, raw)
 
 
+def _annotated_type(name: str) -> str:
+    """The field's annotation as a string ('int', 'Optional[float]', ...)."""
+    t = _FIELD_TYPES[name].type
+    return t if isinstance(t, str) else getattr(t, '__name__', str(t))
+
+
 def _parse_scalar(name: str, raw: str):
-    if raw in ('True', 'true'):
-        return True
-    if raw in ('False', 'false'):
-        return False
-    default = _FIELD_TYPES[name].default if name in _FIELD_TYPES else None
+    """Typed scalar parse; raises ValueError on a value that does not fit
+    the field's declared type (a typo'd value must not silently train
+    with a string where a number belongs)."""
+    if name in _LIST_FIELDS:
+        if name == 'val_seq':
+            return int(raw)
+        return raw.strip("'\"")
+    t = _annotated_type(name)
     try:
-        if name in _LIST_FIELDS:
-            # element type from the default tuple
-            if name == 'val_seq':
-                return int(raw)
-            return raw
-        if isinstance(default, bool):
-            return raw in ('True', 'true', '1')
-        if isinstance(default, int) and default is not None:
-            return int(float(raw))
-        if isinstance(default, float):
+        if 'bool' in t:
+            if raw in ('True', 'true', '1'):
+                return True
+            if raw in ('False', 'false', '0'):
+                return False
+            raise ValueError(raw)
+        if 'int' in t:
+            v = float(raw)
+            if v != int(v):
+                raise ValueError(raw)
+            return int(v)
+        if 'float' in t:
             return float(raw)
-        # Optional[int]/Optional[float] fields: infer from literal
-        if raw.lstrip('+-').replace('.', '', 1).replace('e-', '', 1).isdigit():
-            return float(raw) if ('.' in raw or 'e' in raw) else int(raw)
     except ValueError:
-        pass
-    return raw
+        raise ValueError(
+            f'config flag {name!r} expects {t}, got {raw!r}') from None
+    return raw.strip("'\"")
 
 
-def parse_config_txt(path: str) -> dict:
-    """Parse a reference-style config/args txt file into a dict."""
+def parse_config_txt(path: str, allow_unknown: bool = False) -> dict:
+    """Parse a reference-style config/args txt file into a dict.
+
+    Unknown keys raise (the opposite of silently training with defaults
+    after a typo); pass ``allow_unknown`` to skip them when importing a
+    foreign args.txt.
+    """
     out = {}
     with open(path) as f:
         for line in f:
@@ -228,7 +267,11 @@ def parse_config_txt(path: str) -> dict:
             k, v = line.split('=', 1)
             k = k.strip().lstrip('-')
             if k not in _FIELD_TYPES:
-                continue  # unknown/legacy flag: ignore, like argparse would not
+                if allow_unknown or k == 'config':
+                    continue
+                raise ValueError(
+                    f'unknown config flag {k!r} in {path} '
+                    '(pass allow_unknown=True to skip foreign flags)')
             out[k] = _parse_value(k, v)
     return out
 

@@ -29,6 +29,7 @@ def train(cfg):
     from anerf_tpu.training import pose_opt as P
     from anerf_tpu.training.checkpoint import (latest_checkpoint,
                                                load_checkpoint,
+                                               load_pose_payload,
                                                load_torch_checkpoint,
                                                restore_train_state,
                                                save_checkpoint,
@@ -58,15 +59,21 @@ def train(cfg):
     rest_pose = np.asarray(data_attrs['rest_pose'], np.float32)
 
     # --- model + trainer ---
+    n_subjects = int(data_attrs.get('n_subjects', 1) or 1)
     rc = build_raycast_config(cfg, skel=data_attrs['skel_type'],
-                              n_framecodes=n_framecodes)
+                              n_framecodes=n_framecodes,
+                              n_subjects=n_subjects)
     anchors = P.make_anchors(data_attrs['kp3d'], data_attrs['bones']) \
         if cfg.opt_pose else None
     kp_map = (jnp.asarray(data_attrs['kp_map'])
               if data_attrs.get('kp_map') is not None else None)
+    rest_pose_idxs = (jnp.asarray(data_attrs['rest_pose_idxs'], jnp.int32)
+                      if data_attrs.get('rest_pose_idxs') is not None
+                      else None)
     setup = TrainSetup(cfg=cfg, rc=rc, skel=data_attrs['skel_type'],
                        rest_pose=jnp.asarray(rest_pose),
                        anchors=anchors, kp_map=kp_map,
+                       rest_pose_idxs=rest_pose_idxs,
                        near=0.0, far=1.0)
     state = init_train_state(setup, jax.random.PRNGKey(cfg.seed),
                              init_kp3d=data_attrs['kp3d'],
@@ -91,7 +98,32 @@ def train(cfg):
                 state['step'] = jnp.asarray(start, jnp.int32)
         else:
             state, start = restore_train_state(
-                state, load_checkpoint(ckpt_path), finetune=cfg.finetune)
+                state, load_checkpoint(ckpt_path), finetune=cfg.finetune,
+                no_poseopt_reload=cfg.no_poseopt_reload)
+
+    # --- pose-bank init from an explicit pose checkpoint + anchors ---
+    if cfg.opt_pose and cfg.init_poseopt not in (None, 'None') \
+            and not cfg.no_poseopt_reload:
+        # reference pose_opt.py:51-60: --init_poseopt seeds the bank
+        # (and anchors, when stored) from a separate checkpoint
+        payload = load_pose_payload(cfg.init_poseopt)
+        state['pose_params'] = jax.tree_util.tree_map(
+            jnp.asarray, payload['pose_params'])
+        if payload.get('anchors') is not None and not cfg.use_ckpt_anchor:
+            anchors = {k: jnp.asarray(v)
+                       for k, v in payload['anchors'].items()}
+    if cfg.opt_pose and cfg.use_ckpt_anchor:
+        # anchors = FK of the (loaded) bank, so the regularizer pulls
+        # toward the checkpoint's refined poses instead of the SPIN
+        # estimates (reference pose_opt.py:62-68)
+        all_idx = jnp.arange(state['pose_params']['pelvis'].shape[0])
+        a_kps, a_bones, _, _, a_rots = P.pose_fk(
+            state['pose_params'], all_idx, setup.frame_rest_pose(all_idx),
+            setup.skel, setup.kp_map)
+        anchors = {'kps': a_kps, 'bones': a_bones, 'rots': a_rots}
+    if anchors is not setup.anchors:
+        import dataclasses as _dc
+        setup = _dc.replace(setup, anchors=anchors)
 
     # --- sharding over the (possibly multi-host) device mesh ---
     n_dev = cfg.n_devices or jax.device_count()
