@@ -546,21 +546,464 @@ def process_h36m_data(data_path: str, subject: str = 'S9',
 # ZJU-MoCap
 # ---------------------------------------------------------------------------
 
+# rotates the ZJU world so the ground plane lies on x-z like every other
+# dataset in the schema (reference load_zju.py:13-15)
+ZJU_TO_NERF_ROT = np.array([[1., 0., 0.],
+                            [0., 0., -1.],
+                            [0., 1., 0.]], dtype=np.float32)
+
+# NeuralBody per-subject training lengths / start frames
+# (reference load_zju.py:17-29,189-194)
+ZJU_NUM_TRAIN_FRAMES = {
+    '313': 60, '315': 300, '377': 300, '386': 300, '387': 300,
+    '390': 300, '392': 300, '393': 300, '394': 300, '395': 300,
+    '396': 540,
+}
+ZJU_BEGIN_FRAME = {'390': 700, '396': 810}
+
+# H36M-in-ZJU-layout per-subject recipe: Posing sequence only,
+# (num_train_frames, num_eval_frames), frame_interval=5
+# (reference load_zju.py:344-371)
+H36M_ZJU_FRAMES = {
+    'S1': (150, 49), 'S5': (250, 127), 'S6': (150, 83), 'S7': (300, 200),
+    'S8': (250, 87), 'S9': (260, 133), 'S11': (200, 82),
+}
+
+
+def zju_read_mask(subject_path: str, img_path: str,
+                  erode_border: bool = False, border: int = 5,
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Union of the ``mask/`` and ``mask_cihp/`` segmentations for one
+    frame, plus the dilated sampling mask (reference load_zju.py:31-68,
+    following the NeuralBody repo).  cv2-free: uses the package's own
+    binary morphology.
+
+    Returns (mask, sampling_mask), both (H, W) uint8 in {0, 1}.
+    """
+    stem = os.path.splitext(img_path)[0] + '.png'
+    mask = None
+    for sub in ('mask', 'mask_cihp'):
+        p = os.path.join(subject_path, sub, stem)
+        if not os.path.exists(p):
+            continue
+        m = (_imread(p) != 0)
+        m = m.any(-1) if m.ndim == 3 else m
+        mask = m if mask is None else (mask | m)
+    if mask is None:
+        raise FileNotFoundError(
+            f'no mask/ or mask_cihp/ entry for {img_path} under '
+            f'{subject_path}')
+    mask = mask.astype(np.uint8)
+    sampling = dilate_masks(mask[None], extend_iter=3,
+                            kernel_size=border)[0]
+    if erode_border:
+        # zero the uncertain 1px-ish band around the silhouette:
+        # dilate(mask) - erode(mask) (reference load_zju.py:60-63)
+        dilated = dilate_masks(mask[None], 1, border)[0]
+        eroded = 1 - dilate_masks(1 - mask[None], 1, border)[0]
+        sampling = np.where((dilated - eroded) == 1, 0, sampling)
+    return mask, sampling.astype(np.uint8)
+
+
+def zju_smpl_to_pose_data(bones: np.ndarray, root_bones: np.ndarray,
+                          root_locs: np.ndarray, rest_pose_raw: np.ndarray,
+                          ext_scale: float = 0.001,
+                          scale_to_ref: bool = False,
+                          ref_pose: np.ndarray = SMPL_REST_POSE,
+                          skel=SMPLSkeleton,
+                          ) -> Dict[str, np.ndarray]:
+    """Pure geometry of the reference's ``get_smpls``
+    (load_zju.py:70-176) with the SMPL forward factored out, so it is
+    testable (and runnable) without the optional smplx package.
+
+    ZJU poses live in yet-another coordinate system:
+    ``x_world = R'(R x + t) + T'`` where (R, t) is the standard SMPL
+    articulation and (R', T') = (Rh, Th) a global rotation/translation.
+    We fold ``Rn @ R'`` (Rn = ground-plane alignment) into the root bone
+    and move the root joint to ``Rn R' T + Rn T'`` where T is the
+    (uncentered) pelvis of the shaped rest pose — exactly the reference's
+    ``joints = (Rn R' R X + T) - T + Rn R' T + Rn T'`` correction
+    (load_zju.py:118-166), exploiting that the SMPL root joint location
+    is pose-invariant so the smplx call is unnecessary for joints.
+
+    Args:
+      bones: (N, 24, 3) per-frame axis-angle SMPL pose (``params['poses']``).
+      root_bones: (N, 3) global rotation Rh (``params['Rh']``).
+      root_locs: (N, 3) global translation Th (``params['Th']``).
+      rest_pose_raw: (24, 3) UNCENTERED zero-pose joints for the
+        subject's betas (pelvis NOT at the origin) — from smplx when
+        available, or precomputed.
+
+    Returns dict with kp3d / bones / skts / rest_pose / cyls /
+    root_locs / pose_scale.
+    """
+    from scipy.spatial.transform import Rotation
+
+    bones = np.asarray(bones, np.float32).reshape(-1, 24, 3)
+    root_bones = np.asarray(root_bones, np.float32).reshape(-1, 3)
+    root_locs = np.asarray(root_locs, np.float32).reshape(-1, 3)
+    rest_pose_raw = np.asarray(rest_pose_raw, np.float32).reshape(24, 3)
+    Rn = ZJU_TO_NERF_ROT.astype(np.float64)
+
+    # compose the ground-plane alignment and ZJU global rotation into
+    # the root bone (reference load_zju.py:106-112)
+    Rp = Rotation.from_rotvec(root_bones.astype(np.float64)).as_matrix()
+    R0 = Rn[None] @ Rp
+    new_root = Rotation.from_matrix(R0).as_rotvec().astype(np.float32)
+
+    pelvis_T = rest_pose_raw[0].astype(np.float64)
+    rest_pose = rest_pose_raw - rest_pose_raw[0:1]
+    if scale_to_ref:
+        ref = np.asarray(ref_pose, np.float32) * ext_scale
+        pose_scale = (calculate_bone_length(ref).mean()
+                      / calculate_bone_length(rest_pose).mean())
+    else:
+        pose_scale = 1.0
+    rest_pose = (rest_pose * pose_scale).astype(np.float32)
+
+    # root joint in the NeRF world: Rn R' T + Rn T'
+    # (reference load_zju.py:152-166; the -T + T of the posed pelvis
+    # cancels because the SMPL root is pose-invariant)
+    roots = (np.einsum('nij,j->ni', R0, pelvis_T)
+             + root_locs.astype(np.float64) @ Rn.T) * pose_scale
+    roots = roots.astype(np.float32)
+
+    out_bones = bones.copy()
+    out_bones[:, 0] = new_root
+    l2ws = np.stack([get_smpl_l2ws_np(b, rest_pose=rest_pose)
+                     for b in out_bones])
+    l2ws[:, :, :3, -1] += roots[:, None]
+    kp3d = l2ws[:, :, :3, -1].copy()
+    skts = np.linalg.inv(l2ws)
+    cyls = get_kp_bounding_cylinder(
+        kp3d, ext_scale=ext_scale, skel=skel, extend_mm=250,
+        top_expand_ratio=1.00, bot_expand_ratio=0.25, head='-y')
+    return {
+        'kp3d': kp3d.astype(np.float32),
+        'bones': out_bones.astype(np.float32),
+        'skts': skts.astype(np.float32),
+        'rest_pose': rest_pose.astype(np.float32),
+        'cyls': np.asarray(cyls, np.float32),
+        'root_locs': roots,
+        'pose_scale': float(pose_scale),
+    }
+
+
+def zju_extrinsics_to_nerf(Rs: np.ndarray, Ts: np.ndarray, Ks: np.ndarray,
+                           res: Optional[float] = None,
+                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """ZJU per-camera (R, T, K) -> NeRF-format c2ws / focals / centers
+    (reference load_zju.py:283-310): invert the world-to-cam extrinsic,
+    rotate into the ground-aligned frame, swap to NeRF axis convention.
+
+    Rs: (C, 3, 3); Ts: (C, 3, 1) in mm; Ks: (C, 3, 3).
+    """
+    Rs = np.asarray(Rs, np.float64)
+    Ts = np.asarray(Ts, np.float64).reshape(-1, 3, 1) / 1000.0  # mm -> m
+    Ks = np.asarray(Ks, np.float64).copy()
+    C = len(Rs)
+    ext = np.zeros((C, 4, 4))
+    ext[:, :3, :3] = Rs
+    ext[:, :3, 3:] = Ts
+    ext[:, 3, 3] = 1.0
+    c2ws = np.linalg.inv(ext)
+    Rn = ZJU_TO_NERF_ROT.astype(np.float64)
+    c2ws[:, :3, 3:] = Rn @ c2ws[:, :3, 3:]
+    c2ws[:, :3, :3] = Rn @ c2ws[:, :3, :3]
+    if res is not None:
+        Ks[:, :2] = Ks[:, :2] * res
+    focals = np.stack([Ks[:, 0, 0], Ks[:, 1, 1]], -1)
+    centers = Ks[:, :2, -1]
+    return (swap_mat(c2ws).astype(np.float32), focals.astype(np.float32),
+            centers.astype(np.float32))
+
+
+def zju_background_median(imgs: np.ndarray, masks: np.ndarray,
+                          cam_idxs: np.ndarray, num_cams: int,
+                          row_chunk: int = 64) -> np.ndarray:
+    """Per-camera background plates: per-pixel median over the frames
+    where that pixel is outside the person mask (reference
+    load_zju.py:267-281 — theirs is a per-pixel python double loop; this
+    is the vectorized equivalent via masked nanmedian, chunked over rows
+    to bound the float32 working set).
+
+    imgs: (N, H, W, 3) uint8; masks: (N, H, W, 1); cam_idxs: (N,).
+    Returns (num_cams, H, W, 3) uint8 (zeros for cameras with no frames
+    or pixels never seen as background).
+    """
+    N, H, W, _ = imgs.shape
+    bkgds = np.zeros((num_cams, H, W, 3), np.uint8)
+    for c in np.unique(cam_idxs):
+        sel = cam_idxs == c
+        ci = imgs[sel]
+        cm = masks[sel].reshape(-1, H, W, 1)
+        for r0 in range(0, H, row_chunk):
+            r1 = min(r0 + row_chunk, H)
+            vals = np.where(cm[:, r0:r1] > 0, np.nan,
+                            ci[:, r0:r1].astype(np.float32))
+            with np.errstate(all='ignore'):
+                import warnings
+                with warnings.catch_warnings():
+                    warnings.simplefilter('ignore', RuntimeWarning)
+                    med = np.nanmedian(vals, axis=0)
+            bkgds[c, r0:r1] = np.nan_to_num(med).astype(np.uint8)
+    return bkgds
+
+
+def _zju_undistort(img: np.ndarray, K: np.ndarray,
+                   D: np.ndarray) -> np.ndarray:
+    """Brown-Conrady undistortion (cv2 when present, else identity for
+    zero-distortion inputs)."""
+    D = np.asarray(D, np.float64).ravel()
+    if not D.any():
+        return img
+    try:
+        import cv2
+    except ImportError as e:  # pragma: no cover - cv2 is baked in
+        raise ImportError('non-zero lens distortion needs cv2') from e
+    return cv2.undistort(img, np.asarray(K, np.float64), D)
+
+
+def _zju_load_params(subject_path: str, kp_ids: Sequence[int],
+                     param_dir: str = 'params',
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                np.ndarray]:
+    """Load NeuralBody ``params/{id}.npy`` SMPL dicts -> stacked
+    (bones, betas, Rh, Th) (reference load_zju.py:85-101)."""
+    bones, betas, rhs, ths = [], [], [], []
+    for kp_id in kp_ids:
+        p = np.load(os.path.join(subject_path, param_dir, f'{kp_id}.npy'),
+                    allow_pickle=True).item()
+        bones.append(np.asarray(p['poses'], np.float32).reshape(-1, 24, 3))
+        betas.append(np.asarray(p['shapes'], np.float32).reshape(-1, 10))
+        rhs.append(np.asarray(p['Rh'], np.float32).reshape(-1, 3))
+        ths.append(np.asarray(p['Th'], np.float32).reshape(-1, 3))
+    return (np.concatenate(bones), np.concatenate(betas),
+            np.concatenate(rhs), np.concatenate(ths))
+
+
+def _zju_collect_images(subject_path: str, img_paths: Sequence[str],
+                        cam_idxs: np.ndarray, cams: Dict[str, Any],
+                        H: int, W: int, res: Optional[float],
+                        erode_border: bool,
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Read + undistort (+ resize) every frame and its masks
+    (reference load_zju.py:229-263)."""
+    n = len(img_paths)
+    imgs = np.zeros((n, H, W, 3), np.uint8)
+    masks = np.zeros((n, H, W, 1), np.uint8)
+    sampling = np.zeros((n, H, W, 1), np.uint8)
+    for i, (img_path, cam_idx) in enumerate(zip(img_paths, cam_idxs)):
+        K = np.array(cams['K'][cam_idx])
+        D = np.array(cams['D'][cam_idx])
+        img = _imread(os.path.join(subject_path, img_path))[..., :3]
+        mask, smask = zju_read_mask(subject_path, img_path,
+                                    erode_border=erode_border)
+        img = _zju_undistort(img, K, D)
+        mask = np.minimum(_zju_undistort(mask, K, D), 1)
+        smask = np.minimum(_zju_undistort(smask, K, D), 1)
+        if res is not None and res != 1.0:
+            import cv2
+            img = cv2.resize(img, (W, H), interpolation=cv2.INTER_AREA)
+            mask = cv2.resize(mask, (W, H),
+                              interpolation=cv2.INTER_NEAREST)
+            smask = cv2.resize(smask, (W, H),
+                               interpolation=cv2.INTER_NEAREST)
+        imgs[i] = img
+        masks[i] = mask[..., None]
+        sampling[i] = smask[..., None]
+    return imgs, masks, sampling
+
+
 def process_zju_data(data_path: str, subject: str = '377',
                      training_view: Sequence[int] = (0, 6, 12, 18),
-                     ext_scale: float = 0.001, split: str = 'train',
-                     ) -> str:
-    """ZJU-MoCap (neuralbody layout) -> h5 (reference
-    load_zju.py:179-380).  Needs the optional ``smplx`` package for the
-    SMPL forward; composes the ZJU global rotation/translation into the
-    per-frame poses so FK in our canonical frame reproduces their
-    vertices (see the coordinate notes at load_zju.py:102-122)."""
-    raise NotImplementedError(
-        'ZJU preprocessing needs the raw ZJU-MoCap release (annots.npy + '
-        'per-camera frames + per-frame SMPL params) and the optional '
-        'smplx package. The *training* path consumes the processed h5 '
-        'through ZJUMocapDataset; convert with the neuralbody tooling or '
-        'port load_zju.py:179-380 once raw data is present.')
+                     i_intv: int = 1, split: str = 'train',
+                     ext_scale: float = 0.001, res: Optional[float] = None,
+                     rest_pose_raw: Optional[np.ndarray] = None,
+                     smpl_model_path: str = 'smpl',
+                     skel=SMPLSkeleton) -> str:
+    """ZJU-MoCap (NeuralBody layout: CoreView_{subject}/annots.npy +
+    per-camera frames + mask[_cihp]/ + params/) -> unified h5
+    (reference load_zju.py:179-380).
+
+    ``rest_pose_raw``: (24, 3) uncentered zero-pose joints for the
+    subject's betas.  When None it is derived from the stored betas via
+    the optional smplx package; passing it precomputed makes the whole
+    converter smplx-free (see ``zju_smpl_to_pose_data``).
+    """
+    assert ext_scale == 0.001, 'ZJU data is in the 1m=0.001 system'
+    H = W = 1024
+    ni = ZJU_NUM_TRAIN_FRAMES[subject]
+    begin_i = ZJU_BEGIN_FRAME.get(subject, 0)
+    if res is not None:
+        H, W = int(H * res), int(W * res)
+
+    subject_path = os.path.join(data_path, f'CoreView_{subject}')
+    annots = np.load(os.path.join(subject_path, 'annots.npy'),
+                     allow_pickle=True).item()
+    cams = annots['cams']
+    num_cams = len(cams['K'])
+
+    if split == 'train':
+        view = list(training_view)
+        idxs = slice(begin_i, begin_i + ni * i_intv)
+    else:  # NeuralBody novel-view eval protocol (load_zju.py:209-216)
+        view = [1, 4, 5, 10, 17, 20]
+        stop = 556 if subject == '392' else 601
+        idxs = np.concatenate([np.arange(1, 31), np.arange(400, stop)])
+        i_intv = 1
+
+    ims = np.array(annots['ims'])[idxs][::i_intv]
+    img_paths = np.array([np.array(d['ims'])[view] for d in ims]).ravel()
+    cam_idxs = np.array([np.arange(len(d['ims']))[view]
+                         for d in ims]).ravel()
+
+    imgs, masks, sampling = _zju_collect_images(
+        subject_path, img_paths, cam_idxs, cams, H, W, res,
+        erode_border=True)
+
+    # frame id -> pose id (313/315 name frames differently,
+    # load_zju.py:255-258)
+    if subject in ('313', '315'):
+        kp_idxs = np.array([int(os.path.basename(p).split('_')[4])
+                            for p in img_paths])
+    else:
+        kp_idxs = np.array([int(os.path.splitext(os.path.basename(p))[0])
+                            for p in img_paths])
+
+    bkgds = zju_background_median(imgs, masks, cam_idxs, num_cams)
+    c2ws, focals, centers = zju_extrinsics_to_nerf(
+        np.array(cams['R']), np.array(cams['T']), np.array(cams['K']),
+        res=res)
+
+    uniq_ids = np.unique(kp_idxs)
+    bones, betas, rhs, ths = _zju_load_params(subject_path, uniq_ids)
+    if rest_pose_raw is None:
+        rest_pose_raw = _zju_rest_pose_from_betas(
+            betas, smpl_model_path=smpl_model_path)
+    pose = zju_smpl_to_pose_data(bones, rhs, ths, rest_pose_raw,
+                                 ext_scale=ext_scale, scale_to_ref=False,
+                                 skel=skel)
+
+    # remap frame ids to pose-bank rows (load_zju.py:319-325)
+    if split == 'test':
+        kp_idxs = np.arange(len(kp_idxs))
+    elif subject in ('313', '315'):
+        kp_idxs = kp_idxs - 1
+    elif subject in ZJU_BEGIN_FRAME:
+        kp_idxs = kp_idxs - ZJU_BEGIN_FRAME[subject]
+
+    data = {
+        'imgs': imgs, 'bkgds': bkgds, 'bkgd_idxs': cam_idxs,
+        'masks': masks, 'sampling_masks': sampling,
+        'c2ws': c2ws, 'img_pose_indices': cam_idxs,
+        'kp_idxs': np.asarray(kp_idxs), 'centers': centers,
+        'focals': focals, 'kp3d': pose['kp3d'],
+        'betas': betas.astype(np.float32), 'bones': pose['bones'],
+        'skts': pose['skts'], 'cyls': pose['cyls'],
+        'rest_pose': pose['rest_pose'],
+        'ext_scale': np.array(ext_scale, np.float32),
+        'img_shape': np.array([len(imgs), H, W, 3]),
+    }
+    h5_name = os.path.join(data_path, f'{subject}_{split}.h5')
+    write_to_h5py(h5_name, data)
+    return h5_name
+
+
+def _zju_rest_pose_from_betas(betas: np.ndarray,
+                              smpl_model_path: str = 'smpl',
+                              gender: str = 'neutral') -> np.ndarray:
+    """UNCENTERED zero-pose joints for mean betas via the optional smplx
+    package (reference load_zju.py:125-139 keeps the pelvis offset as T)."""
+    try:
+        import torch
+        from smplx import SMPL
+    except ImportError as e:  # pragma: no cover - optional dependency
+        raise ImportError(
+            'deriving the ZJU rest pose from betas needs the optional '
+            'smplx package; pass rest_pose_raw= precomputed instead') from e
+    betas_t = torch.as_tensor(np.asarray(betas, np.float32)).mean(0)[None]
+    with torch.no_grad():
+        dummy = torch.eye(3).view(1, 1, 3, 3).expand(1, 24, 3, 3)
+        smpl = SMPL(model_path=smpl_model_path, gender=gender,
+                    joint_mapper=lambda joints: joints[:, :24])
+        out = smpl(betas=betas_t, body_pose=dummy[:, 1:],
+                   global_orient=dummy[:, :1], pose2rot=False)
+    return out.joints[0].cpu().numpy().astype(np.float32)
+
+
+def process_h36m_zju_data(data_path: str, subject: str = 'S1',
+                          training_view: Sequence[int] = (0, 1, 2),
+                          split: str = 'train',
+                          res: Optional[float] = None,
+                          ext_scale: float = 0.001,
+                          rest_pose_raw: Optional[np.ndarray] = None,
+                          skel=SMPLSkeleton) -> str:
+    """H36M packaged in the ZJU/AnimatableNeRF layout (Posing sequence
+    only) -> unified h5 (reference load_zju.py:344-534)."""
+    assert ext_scale == 0.001
+    H = W = 1000
+    if res is not None and res != 1.0:
+        H, W = int(H * res), int(W * res)
+
+    n_train, n_eval = H36M_ZJU_FRAMES[subject]
+    i_intv = 5
+    subj_root = os.path.join(data_path, subject)
+    annots = np.load(os.path.join(subj_root, 'Posing', 'annots.npy'),
+                     allow_pickle=True).item()
+    subject_path = os.path.join(subj_root, 'Posing')
+    cams = annots['cams']
+    num_cams = len(cams['K'])
+
+    if split == 'train':
+        view = list(training_view)
+        i0, ni = 0, n_train
+    else:
+        view = [v for v in range(num_cams) if v not in training_view] or [0]
+        i0, ni = n_train * i_intv, n_eval
+
+    ims = annots['ims'][i0:i0 + ni * i_intv][::i_intv]
+    img_paths = np.array([np.array(d['ims'])[view] for d in ims]).ravel()
+    cam_idxs = np.array([np.arange(len(d['ims']))[view]
+                         for d in ims]).ravel()
+
+    imgs, masks, sampling = _zju_collect_images(
+        subject_path, img_paths, cam_idxs, cams, H, W, res,
+        erode_border=True)
+
+    kp_ids = np.array([int(os.path.splitext(os.path.basename(p))[0])
+                       for p in img_paths])
+    kp_ids, kp_idxs = np.unique(kp_ids, return_inverse=True)
+
+    bkgds = zju_background_median(imgs, masks, cam_idxs, num_cams)
+    c2ws, focals, centers = zju_extrinsics_to_nerf(
+        np.array(cams['R']), np.array(cams['T']), np.array(cams['K']),
+        res=res)
+
+    bones, betas, rhs, ths = _zju_load_params(subject_path, kp_ids,
+                                              param_dir='new_params')
+    if rest_pose_raw is None:
+        rest_pose_raw = _zju_rest_pose_from_betas(
+            betas, smpl_model_path=os.path.join(data_path, 'smplx', 'smpl'))
+    pose = zju_smpl_to_pose_data(bones, rhs, ths, rest_pose_raw,
+                                 ext_scale=ext_scale, scale_to_ref=False,
+                                 skel=skel)
+
+    data = {
+        'imgs': imgs, 'bkgds': bkgds, 'bkgd_idxs': cam_idxs,
+        'masks': masks, 'sampling_masks': sampling,
+        'c2ws': c2ws, 'img_pose_indices': cam_idxs,
+        'kp_idxs': np.asarray(kp_idxs), 'centers': centers,
+        'focals': focals, 'kp3d': pose['kp3d'],
+        'betas': betas.astype(np.float32), 'bones': pose['bones'],
+        'skts': pose['skts'], 'cyls': pose['cyls'],
+        'rest_pose': pose['rest_pose'],
+        'ext_scale': np.array(ext_scale, np.float32),
+        'img_shape': np.array([len(imgs), H, W, 3]),
+    }
+    h5_name = os.path.join(data_path, f'{subject}_{split}.h5')
+    write_to_h5py(h5_name, data)
+    return h5_name
 
 
 # ---------------------------------------------------------------------------
