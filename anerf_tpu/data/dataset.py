@@ -312,17 +312,26 @@ class BaseH5Dataset:
             'kp_uidxs': self.kp_uidxs,
         }
 
-    def get_render_data(self) -> Dict[str, Any]:
+    def get_render_data(self, selected_idxs=None) -> Dict[str, Any]:
         """Held-out images + cameras for validation rendering
-        (reference dataset.py:490-542)."""
+        (reference dataset.py:490-542).  ``selected_idxs`` (positions
+        into the render subset) overrides the default skip/N_render
+        decimation — the catalog 'val' entries use this
+        (reference run_render.py:335,377)."""
         with h5py.File(self.h5_path, 'r') as ds:
             k_idxs, c_idxs, i_idxs, kq_idxs, cq_idxs = \
                 self._get_subset_idxs(render=True)
-            kq_idxs = kq_idxs[::self.render_skip][:self.N_render]
-            cq_idxs = cq_idxs[::self.render_skip][:self.N_render]
-            i_idxs = i_idxs[::self.render_skip][:self.N_render]
-            k_idxs = k_idxs[::self.render_skip][:self.N_render]
-            c_idxs = c_idxs[::self.render_skip][:self.N_render]
+            if selected_idxs is not None:
+                pick = np.asarray(selected_idxs)
+                pick = pick[pick < len(i_idxs)]
+            else:
+                pick = np.arange(len(i_idxs))[::self.render_skip]
+                pick = pick[:self.N_render]
+            kq_idxs = kq_idxs[pick]
+            cq_idxs = cq_idxs[pick]
+            i_idxs = i_idxs[pick]
+            k_idxs = k_idxs[pick]
+            c_idxs = c_idxs[pick]
 
             H, W = self.HW
             imgs = ds['imgs'][i_idxs].reshape(-1, H, W, 3).astype(
@@ -427,8 +436,8 @@ class ConcatH5Dataset:
         merged['center'] = None
         return merged
 
-    def get_render_data(self):
-        return self.datasets[0].get_render_data()
+    def get_render_data(self, selected_idxs=None):
+        return self.datasets[0].get_render_data(selected_idxs)
 
 
 class TemporalDatasetWrapper:
@@ -459,5 +468,5 @@ class TemporalDatasetWrapper:
     def get_meta(self):
         return self._dataset.get_meta()
 
-    def get_render_data(self):
-        return self._dataset.get_render_data()
+    def get_render_data(self, selected_idxs=None):
+        return self._dataset.get_render_data(selected_idxs)

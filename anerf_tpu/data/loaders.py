@@ -271,7 +271,8 @@ def map_data_to_n_views(img_paths, kp3d, bones, rest_pose, skts):
 
 
 def get_dataset(cfg, data_path: Optional[str] = None,
-                process_count: int = 1):
+                process_count: int = 1,
+                h5_override: Optional[str] = None):
     """Build the (possibly concatenated / temporal) dataset
     (reference load_data.py:87-143).
 
@@ -301,7 +302,7 @@ def get_dataset(cfg, data_path: Optional[str] = None,
 
     datasets = []
     for dtype, subj in zip(dataset_types, subjects):
-        path = DATASET_CATALOG[dtype](data_path, subj)
+        path = h5_override or DATASET_CATALOG[dtype](data_path, subj)
         if dtype == 'h36m':
             d = H36MDataset(path, subject=subj, load_refined=cfg.load_refined,
                             **shared)

@@ -905,7 +905,7 @@ def process_zju_data(data_path: str, subject: str = '377',
         'ext_scale': np.array(ext_scale, np.float32),
         'img_shape': np.array([len(imgs), H, W, 3]),
     }
-    h5_name = os.path.join(data_path, f'{subject}_{split}.h5')
+    h5_name = os.path.join(data_path, f'{subject}_{split}_h5py.h5')
     write_to_h5py(h5_name, data)
     return h5_name
 
@@ -1001,7 +1001,7 @@ def process_h36m_zju_data(data_path: str, subject: str = 'S1',
         'ext_scale': np.array(ext_scale, np.float32),
         'img_shape': np.array([len(imgs), H, W, 3]),
     }
-    h5_name = os.path.join(data_path, f'{subject}_{split}.h5')
+    h5_name = os.path.join(data_path, f'{subject}_{split}_h5py.h5')
     write_to_h5py(h5_name, data)
     return h5_name
 

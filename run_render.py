@@ -29,14 +29,25 @@ def parse_args(argv):
     p.add_argument('--ckptpath', type=str, required=True,
                    help='checkpoint (.msgpack, or reference .tar)')
     p.add_argument('--render_type', type=str, default='bullet',
-                   choices=RENDER_TYPES)
+                   choices=RENDER_TYPES + ('val2',))
+    p.add_argument('--entry', type=str, default=None,
+                   help="catalog entry 'dataset/subject' (e.g. surreal/"
+                        'hard): fills dataset path, selected idxs and '
+                        'generator params for --render_type from the '
+                        'curated catalog (reference run_render.py:301-471)')
+    p.add_argument('--data_root', type=str, default='data',
+                   help='root the catalog data_h5 paths resolve against')
+    p.add_argument('--ckpt_root', type=str,
+                   default='neurips21_ckpt/trained/ours',
+                   help='root the catalog refined-ckpt paths resolve '
+                        'against')
     p.add_argument('--render_res', type=int, nargs=2, default=None,
                    help='override H W')
-    p.add_argument('--selected_idxs', type=int, nargs='+', default=[0])
-    p.add_argument('--n_bullet', type=int, default=30)
-    p.add_argument('--n_step', type=int, default=10)
+    p.add_argument('--selected_idxs', type=int, nargs='+', default=None)
+    p.add_argument('--n_bullet', type=int, default=None)
+    p.add_argument('--n_step', type=int, default=None)
     p.add_argument('--joints', type=int, nargs='+',
-                   default=[16, 18, 20], help='joints for animate')
+                   default=None, help='joints for animate')
     p.add_argument('--render_refined', action='store_true',
                    help='use refined poses from the checkpoint pose bank')
     p.add_argument('--white_bkgd', action='store_true')
@@ -56,6 +67,51 @@ def parse_args(argv):
     return p.parse_args(argv)
 
 
+def apply_entry(args):
+    """Fill CLI defaults from the curated catalog entry (reference
+    run_render.py:116-155).  Returns extra generator kwargs the entry
+    carries (undo_rot / center_cam / center_kps / length / skip)."""
+    gen_kwargs = {}
+    args.refined_path = None
+    args.entry_h5 = None
+    args.idx_map = None
+    if args.entry:
+        from anerf_tpu.render.catalog import resolve_entry
+        ent = resolve_entry(args.entry, args.render_type,
+                            data_root=args.data_root,
+                            ckpt_root=args.ckpt_root)
+        args.entry_h5 = ent['data_h5']
+        args.refined_path = ent.get('refined')
+        idx_map = ent.get('idx_map')
+        if idx_map is not None and len(idx_map):
+            args.idx_map = np.asarray(idx_map)
+        if args.selected_idxs is None:
+            args.selected_idxs = [int(i) for i in ent['selected_idxs']]
+        for k in ('n_bullet', 'n_step', 'joints'):
+            if getattr(args, k) is None and k in ent:
+                setattr(args, k, ent[k])
+        gen_kwargs = {k: ent[k] for k in
+                      ('undo_rot', 'center_cam', 'center_kps', 'length',
+                       'skip') if k in ent}
+    args.explicit_idxs = args.selected_idxs is not None
+    if args.selected_idxs is None:
+        args.selected_idxs = [0]
+    if args.n_bullet is None:
+        args.n_bullet = 30
+    if args.n_step is None:
+        args.n_step = 10
+    if args.joints is None:
+        args.joints = [16, 18, 20]
+    return gen_kwargs
+
+
+def _accepts(fn, kwargs):
+    """Keep only the kwargs ``fn`` actually takes."""
+    import inspect
+    names = set(inspect.signature(fn).parameters)
+    return {k: v for k, v in kwargs.items() if k in names}
+
+
 def load_everything(args):
     import jax
     import jax.numpy as jnp
@@ -72,7 +128,9 @@ def load_everything(args):
     if args.chunk:
         cfg.chunk = args.chunk
 
-    dataset = get_dataset(cfg)
+    # catalog entry overrides the h5 location but keeps the dataset
+    # class from the training args
+    dataset = get_dataset(cfg, h5_override=getattr(args, 'entry_h5', None))
     data_attrs = dataset.get_meta()
     n_framecodes = int(data_attrs['n_views'])
     rc = build_raycast_config(cfg, skel=data_attrs['skel_type'],
@@ -110,19 +168,28 @@ def _fix_params(params):
 
 
 def get_poses(args, cfg, data_attrs, pose_params):
-    """(kps, bones) source: dataset meta or refined pose bank
-    (reference --render_refined)."""
-    if args.render_refined and pose_params is not None:
-        from anerf_tpu.training.pose_opt import pose_params_to_pose_data
-        kp3d, bones = pose_params_to_pose_data(
-            {k: np.asarray(v) for k, v in pose_params.items()},
-            data_attrs['rest_pose'], ext_scale=cfg.ext_scale)[:2]
-        return kp3d, bones
+    """(kps, bones) source: dataset meta, the checkpoint pose bank, or
+    the catalog entry's refined-pose checkpoint (reference
+    --render_refined + catalog 'refined' paths)."""
+    if args.render_refined:
+        refined = getattr(args, 'refined_path', None)
+        if refined and os.path.exists(refined):
+            from anerf_tpu.training.checkpoint import load_refined_pose_data
+            kp3d, bones = load_refined_pose_data(
+                refined, ext_scale=cfg.ext_scale)[:2]
+            return np.asarray(kp3d), np.asarray(bones)
+        if pose_params is not None:
+            from anerf_tpu.training.pose_opt import pose_params_to_pose_data
+            kp3d, bones = pose_params_to_pose_data(
+                {k: np.asarray(v) for k, v in pose_params.items()},
+                data_attrs['rest_pose'], ext_scale=cfg.ext_scale)[:2]
+            return kp3d, bones
     return data_attrs['kp3d'], data_attrs['bones']
 
 
 def main(argv):
     args = parse_args(argv)
+    gen_kwargs = apply_entry(args)
     import jax.numpy as jnp
     from anerf_tpu.render import poses as pose_gen
     from anerf_tpu.render.renderer import ImageRenderer
@@ -146,6 +213,9 @@ def main(argv):
         focals = np.asarray(focals) * scale
     f0 = float(np.atleast_1d(focals)[0])
     sel = np.asarray(args.selected_idxs)
+    if args.idx_map is not None:
+        from anerf_tpu.render.catalog import find_idxs_with_map
+        sel = find_idxs_with_map(sel, args.idx_map)
 
     renderer = ImageRenderer(rc, params, state,
                              chunk=args.chunk or cfg.chunk,
@@ -175,27 +245,34 @@ def main(argv):
                            frames, fps=args.fps)
         return
 
-    if args.render_type == 'val':
-        render_data = dataset.get_render_data()
+    if args.render_type in ('val', 'val2'):
+        render_data = dataset.get_render_data(
+            sel if args.explicit_idxs else None)
     elif args.render_type == 'bullet':
         render_data = pose_gen.load_bullettime(
-            kps, bones, c2ws, focals, rest_pose, sel, n_bullet=args.n_bullet)
+            kps, bones, c2ws, focals, rest_pose, sel, n_bullet=args.n_bullet,
+            **_accepts(pose_gen.load_bullettime, gen_kwargs))
     elif args.render_type == 'interpolate':
         render_data = pose_gen.load_interpolate(
-            kps, bones, c2ws, focals, rest_pose, sel, n_step=args.n_step)
+            kps, bones, c2ws, focals, rest_pose, sel, n_step=args.n_step,
+            **_accepts(pose_gen.load_interpolate, gen_kwargs))
     elif args.render_type == 'retarget':
         render_data = pose_gen.load_retarget(
-            kps, bones, c2ws, focals, rest_pose, sel)
+            kps, bones, c2ws, focals, rest_pose, sel,
+            **_accepts(pose_gen.load_retarget, gen_kwargs))
     elif args.render_type == 'animate':
         render_data = pose_gen.load_animate(
             kps, bones, c2ws, focals, rest_pose, sel, joints=args.joints,
-            n_step=args.n_step)
+            n_step=args.n_step,
+            **_accepts(pose_gen.load_animate, gen_kwargs))
     elif args.render_type == 'poserot':
         render_data = pose_gen.load_pose_rotate(
-            kps, bones, c2ws, focals, rest_pose, sel, n_bullet=args.n_bullet)
+            kps, bones, c2ws, focals, rest_pose, sel, n_bullet=args.n_bullet,
+            **_accepts(pose_gen.load_pose_rotate, gen_kwargs))
     elif args.render_type == 'bubble':
         render_data = pose_gen.load_bubble(
-            kps, bones, c2ws, focals, rest_pose, sel, n_step=args.n_step)
+            kps, bones, c2ws, focals, rest_pose, sel, n_step=args.n_step,
+            **_accepts(pose_gen.load_bubble, gen_kwargs))
     elif args.render_type == 'correction':
         init_kps, init_bones = data_attrs['kp3d'], data_attrs['bones']
         render_data = pose_gen.load_correction(

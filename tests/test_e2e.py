@@ -90,3 +90,39 @@ def test_train_and_render_cli(workdir):
                      '--outputdir', outdir, '--runname', 'refined',
                      '--chunk', '512'])
     assert os.path.exists(os.path.join(outdir, 'refined', '0000.png'))
+
+
+def test_entry_catalog_render(workdir):
+    """--entry resolves a catalog entry: the h5 path, generator params
+    and selection come from the catalog (reference run_render.py
+    init_catalog + load_render_data)."""
+    import shutil
+    import run_render
+
+    logdir = os.path.join(str(workdir / 'logs'), 'synthetic_tiny')
+    ckpts = sorted(os.path.join(logdir, f) for f in os.listdir(logdir)
+                   if f.startswith('ckpt_'))
+    assert ckpts, 'train test must run first (module-scoped workdir)'
+
+    # lay the synthetic h5 where the surreal/easy entry expects it
+    data_root = workdir / 'data'
+    (data_root / 'surreal').mkdir(parents=True, exist_ok=True)
+    shutil.copy(str(workdir / 'synthetic.h5'),
+                str(data_root / 'surreal' / 'surreal_train_h5py.h5'))
+
+    outdir = str(workdir / 'render_entry')
+    # selected_idxs overridden (catalog's point at frames the tiny
+    # synthetic h5 doesn't have); n_bullet=10 must come from the entry
+    run_render.main(['--nerf_args', os.path.join(logdir, 'args.txt'),
+                     '--ckptpath', ckpts[-1],
+                     '--entry', 'surreal/easy',
+                     '--data_root', str(data_root),
+                     '--render_type', 'bullet',
+                     '--selected_idxs', '0',
+                     '--outputdir', outdir, '--runname', 'entry',
+                     '--chunk', '512'])
+    files = os.listdir(os.path.join(outdir, 'entry'))
+    # n_bullet=10 from the catalog entry -> 10 frames (save_video may
+    # add prefixed fallback pngs; count only the save_images frames)
+    import re
+    assert sum(bool(re.fullmatch(r'\d{4}\.png', f)) for f in files) == 10

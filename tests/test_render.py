@@ -347,3 +347,48 @@ def test_overlay_mesh_composites():
     ys2, xs2 = np.nonzero(mask_pp)
     assert xs2.mean() > xs.mean() + 8
     assert abs(ys2.mean() - ys.mean()) < 2
+
+
+def test_render_catalog_structure():
+    """init_catalog mirrors the reference's curated entries
+    (run_render.py:301-471)."""
+    from anerf_tpu.render.catalog import init_catalog, resolve_entry
+    cat = init_catalog(data_root='data')
+    assert set(cat) == {'h36m', 'surreal', 'perfcap', 'mixamo',
+                        'neuralbody'}
+    assert set(cat['h36m']) == {'S9', 'S11', 'gt_to_mask_map'}
+    assert set(cat['mixamo']) == {'james', 'archer'}
+    assert len(cat['neuralbody']) == 8
+
+    ent = resolve_entry('surreal/easy', 'bullet', catalog=cat)
+    assert ent['data_h5'] == 'data/surreal/surreal_train_h5py.h5'
+    np.testing.assert_array_equal(
+        ent['selected_idxs'], [10, 70, 350, 420, 490, 910, 980, 1050])
+    assert ent['n_bullet'] == 10
+
+    ent = resolve_entry('h36m/S9', 'animate', catalog=cat)
+    assert ent['refined'].endswith('h36m/s9_sub64_500k.tar')
+    assert ent['joints'] == [17, 19, 21, 23]
+    assert ent['center_cam'] and ent['center_kps']
+
+    ent = resolve_entry('perfcap/nadia', 'val', catalog=cat)
+    assert len(ent['selected_idxs']) == 327
+
+    import pytest
+    with pytest.raises(KeyError, match='dataset'):
+        resolve_entry('nope/easy', 'bullet', catalog=cat)
+    with pytest.raises(KeyError, match='entry'):
+        resolve_entry('surreal/nope', 'bullet', catalog=cat)
+    with pytest.raises(KeyError, match='bullet'):
+        resolve_entry('surreal/val', 'bullet', catalog=cat)
+    with pytest.raises(KeyError, match='dataset/entry'):
+        resolve_entry('surreal', 'bullet', catalog=cat)
+
+
+def test_find_idxs_with_map():
+    from anerf_tpu.render.catalog import find_idxs_with_map
+    idx_map = np.array([5, 9, 20, 78, 140])
+    out = find_idxs_with_map(np.array([20, 78, 999]), idx_map)
+    np.testing.assert_array_equal(out, [2, 3])   # 999 dropped
+    np.testing.assert_array_equal(
+        find_idxs_with_map(np.array([1, 2]), None), [1, 2])
