@@ -45,10 +45,12 @@ def test_fused_matches_xla_forward():
     rc, params, batch, est, pose = build()
     a = render(rc, params, batch, est, pose, 'xla')
     b = render(rc, params, batch, est, pose, 'pallas')
-    for k in ('rgb_map', 'acc_map', 'rgb0', 'acc0'):
+    for k in ('rgb_map', 'acc_map', 'rgb0', 'acc0', 'disp_map'):
         ref, got = np.asarray(a[k]), np.asarray(b[k])
         scale = np.abs(ref).max() + 1e-6
-        assert np.max(np.abs(ref - got)) < 3e-2 * scale, (
+        # measured max rel error is ~3e-4 (the two backends share the
+        # bf16 quantization chain; residual is accumulation order)
+        assert np.max(np.abs(ref - got)) < 1e-3 * scale, (
             k, np.max(np.abs(ref - got)), scale)
 
 
