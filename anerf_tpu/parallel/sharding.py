@@ -36,10 +36,14 @@ def init_distributed(coordinator_address: Optional[str] = None,
     Safe to call unconditionally: single-process runs (no coordinator
     env/args) are a no-op.  Returns (process_index, process_count).
     """
-    from jax._src import xla_bridge
-    if jax.process_count() > 1 or xla_bridge.backends_are_initialized():
-        # already running distributed, or too late to initialize (a JAX
-        # call has already brought the backend up single-process)
+    from jax._src import distributed, xla_bridge
+    if distributed.global_state.client is not None:
+        # already running distributed
+        return jax.process_index(), jax.process_count()
+    if xla_bridge.backends_are_initialized():
+        # too late to initialize (a JAX call has already brought the
+        # backend up single-process).  NB: don't probe via
+        # jax.process_count() — that call itself initializes the backend.
         return jax.process_index(), jax.process_count()
     addr = coordinator_address or os.environ.get(
         'JAX_COORDINATOR_ADDRESS') or os.environ.get('COORDINATOR_ADDRESS')
