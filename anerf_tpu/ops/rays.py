@@ -206,9 +206,10 @@ def isample_from_lineseg(z_vals: jnp.ndarray, weights: jnp.ndarray,
         jnp.zeros_like(ranks), ranks,
         jnp.broadcast_to(jnp.arange(total), ranks.shape),
         axis=-1, inplace=False)
-    # the sorted union is by definition sort(z_cat) — a direct sort
-    # vectorizes far better than gathering 1-float rows by sorted_idxs
-    z_merged = jnp.sort(z_cat, axis=-1)
+    # the sorted union scattered by the ranks we already hold — one
+    # scatter beats lowering a length-(S+I) bitonic sort
+    z_merged = jnp.put_along_axis(jnp.zeros_like(z_cat), ranks, z_cat,
+                                  axis=-1, inplace=False)
     return z_merged, z_samples, sorted_idxs
 
 
