@@ -269,6 +269,7 @@ def render_rays(rc: RayCastConfig,
     # per-sample encodings never touch HBM — distances, cutoff windows,
     # PE, and the MLP all run per tile in VMEM (ops/pallas_encmlp.py).
     fused_net = None
+    fused_dual = None
     if rc.mlp_backend == 'pallas' and rc.n_subjects == 1:
         from ..ops import pallas_encmlp as PE
         if PE.supported_config(rc):
@@ -287,6 +288,16 @@ def render_rays(rc: RayCastConfig,
                     net_params, rc, pts_t, rays_t_norm, cutoff_sg, tau_in,
                     cam_idxs if rc.nerf.use_framecode else None)
 
+            def fused_dual(q_pts):  # noqa: E306
+                # coarse + fine nets on the same points, one kernel:
+                # the encode (fwd) and its pullback (bwd) are shared
+                pts_t = encoders.transform_batch_pts(q_pts, skts)
+                pts_t = pts_t.astype(jnp.float32)
+                return PE.nerf_encmlp_dual_pallas(
+                    params['coarse'], params['fine'], rc, pts_t,
+                    rays_t_norm, cutoff_sg, tau_in,
+                    cam_idxs if rc.nerf.use_framecode else None)
+
     enc_cache: Dict[str, Any] = {}
 
     def run_pass(net_params, q_pts, key):
@@ -300,7 +311,18 @@ def render_rays(rc: RayCastConfig,
         return _run_network(rc, net_params, vv, rr, dd, cam_idxs,
                             subject_idxs=subject_idxs)
 
-    raw = run_pass(params['coarse'], pts, 'coarse')
+    # dual-net fused path: both networks on the coarse samples in one
+    # kernel call (the fine pass on these points is consumed below)
+    raw_c_pre = None
+    if (fused_dual is not None and rc.N_importance > 0
+            and not rc.single_net and params.get('fine') is not None):
+        duo = fused_dual(pts)
+        if duo is not None:
+            raw, raw_c_pre = duo
+        else:
+            raw = run_pass(params['coarse'], pts, 'coarse')
+    else:
+        raw = run_pass(params['coarse'], pts, 'coarse')
 
     noise = fixed.get('coarse_noise')
     if noise is None and rc.raw_noise_std > 0. and k_cnoise is not None:
@@ -331,7 +353,8 @@ def render_rays(rc: RayCastConfig,
             # permute into depth order — identical math to the
             # reference's sort-encodings-then-run (raycasters.py:456-461)
             # without ever concatenating the fat encodings in HBM.
-            raw_c = run_pass(fine_params, pts, 'coarse')
+            raw_c = raw_c_pre if raw_c_pre is not None \
+                else run_pass(fine_params, pts, 'coarse')
             raw_n = run_pass(fine_params, pts_is, 'fine')
             raw_all = jnp.concatenate([raw_c, raw_n], axis=1)
             raw = _permute_rows(raw_all, sorted_idxs)

@@ -135,6 +135,93 @@ def _fwd_kernel(st: MLPStatic, est: EncStatic, *refs):
     out_ref[:] = jnp.concatenate([rgb, alpha], axis=-1)
 
 
+def _mlp_bwd_tile(st: MLPStatic, xs, xvs, wrefs, grefs, g):
+    """Backward of ``_forward_tile`` for ONE network on one tile.
+
+    Recomputes the forward activations (flash-style), accumulates every
+    weight gradient into ``grefs`` (flatten order), and returns the
+    f32 input cotangents ``(g_x_parts, g_xv_parts)`` so the caller can
+    pull them through the encode (and sum across networks when several
+    MLPs consume the same encoded tile).
+    """
+    b16 = lambda a: a.astype(jnp.bfloat16)
+    f32 = lambda a: a.astype(jnp.float32)
+    T = xs[0].shape[0]
+
+    acts, feat, hv, _, _ = _forward_tile(st, xs, xvs, wrefs)
+    g_rgb, g_alpha = g[:, :3], g[:, 3:4]
+
+    it = iter(wrefs)
+    trunk = []
+    for i in range(st.depth):
+        if i == 0:
+            trunk.append((None, [next(it) for _ in st.dparts]))
+        elif st.has_x_part(i):
+            wh = next(it)
+            trunk.append((wh, [next(it) for _ in st.dparts]))
+        else:
+            trunk.append((next(it), None))
+        _ = next(it)
+    wa, _, wf, _, wvf = next(it), next(it), next(it), next(it), next(it)
+    wvs = [next(it) for _ in st.vparts]
+    _bv, wr, _br = next(it), next(it), next(it)
+    git = iter(grefs)
+
+    def add(ref, val):
+        ref[:] = ref[:] + val
+
+    g_rgb_b = b16(g_rgb)
+    g_hv = _dot_nt(g_rgb_b, wr[:]) * (f32(hv) > 0)
+    g_hv_b = b16(g_hv)
+    g_feat = _dot_nt(g_hv_b, wvf[:])
+    g_xvs = [_dot_nt(g_hv_b, wvk[:]) for wvk in wvs]
+    g_feat_b = b16(g_feat)
+    g_alpha_b = b16(g_alpha)
+    g_a = _dot_nt(g_feat_b, wf[:]) + _dot_nt(g_alpha_b, wa[:])
+
+    g_x_acc = [jnp.zeros((T, d), jnp.float32) for d in st.dparts]
+    g_pres = []
+    for i in reversed(range(st.depth)):
+        g_pre = g_a * (f32(acts[i]) > 0)
+        g_pre_b = b16(g_pre)
+        g_pres.append((i, g_pre, g_pre_b))
+        wh, wxs = trunk[i]
+        if i == 0:
+            for k, w0k in enumerate(wxs):
+                g_x_acc[k] = g_x_acc[k] + _dot_nt(g_pre_b, w0k[:])
+            break
+        g_a = _dot_nt(g_pre_b, wh[:])
+        if wxs is not None:
+            for k, wxk in enumerate(wxs):
+                g_x_acc[k] = g_x_acc[k] + _dot_nt(g_pre_b, wxk[:])
+
+    # weight grads, flatten order
+    g_pre_by_layer = {i: (gp, gpb) for i, gp, gpb in g_pres}
+    for i in range(st.depth):
+        g_pre, g_pre_b = g_pre_by_layer[i]
+        if i == 0:
+            for xk in xs:
+                add(next(git), _dot_tn(xk, g_pre_b))
+        else:
+            add(next(git), _dot_tn(acts[i - 1], g_pre_b))
+            if st.has_x_part(i):
+                for xk in xs:
+                    add(next(git), _dot_tn(xk, g_pre_b))
+        add(next(git), jnp.sum(g_pre, axis=0, keepdims=True))
+    a_last = acts[-1]
+    add(next(git), _dot_tn(a_last, g_alpha_b))
+    add(next(git), jnp.sum(g_alpha, axis=0, keepdims=True))
+    add(next(git), _dot_tn(a_last, g_feat_b))
+    add(next(git), jnp.sum(g_feat, axis=0, keepdims=True))
+    add(next(git), _dot_tn(feat, g_hv_b))
+    for xvk in xvs:
+        add(next(git), _dot_tn(xvk, g_hv_b))
+    add(next(git), jnp.sum(g_hv, axis=0, keepdims=True))
+    add(next(git), _dot_tn(hv, g_rgb_b))
+    add(next(git), jnp.sum(g_rgb, axis=0, keepdims=True))
+    return g_x_acc, g_xvs
+
+
 def _bwd_kernel(st: MLPStatic, est: EncStatic, *refs):
     n_in = 2 + (1 if est.has_codes else 0)
     n_w = _num_weight_operands(st)
@@ -167,56 +254,7 @@ def _bwd_kernel(st: MLPStatic, est: EncStatic, *refs):
     if est.has_codes:
         xvs.append(b16(_codes_tile(est, codes_blk, T)))
 
-    acts, feat, hv, _, _ = _forward_tile(st, xs, xvs, wrefs)
-
-    g = g_ref[:]
-    g_rgb, g_alpha = g[:, :3], g[:, 3:4]
-
-    # --- MLP backward (mirror of pallas_mlp._bwd_kernel) ---
-    it = iter(wrefs)
-    trunk = []
-    for i in range(st.depth):
-        if i == 0:
-            trunk.append((None, [next(it) for _ in st.dparts]))
-        elif st.has_x_part(i):
-            wh = next(it)
-            trunk.append((wh, [next(it) for _ in st.dparts]))
-        else:
-            trunk.append((next(it), None))
-        _ = next(it)
-    wa, _, wf, _, wvf = next(it), next(it), next(it), next(it), next(it)
-    wvs = [next(it) for _ in st.vparts]
-    _bv, wr, _br = next(it), next(it), next(it)
-    git = iter(grefs)
-
-    def add(ref, val):
-        ref[:] = ref[:] + val
-
-    f32 = lambda a: a.astype(jnp.float32)
-    g_rgb_b = b16(g_rgb)
-    g_hv = _dot_nt(g_rgb_b, wr[:]) * (f32(hv) > 0)
-    g_hv_b = b16(g_hv)
-    g_feat = _dot_nt(g_hv_b, wvf[:])
-    g_xvs = [_dot_nt(g_hv_b, wvk[:]) for wvk in wvs]
-    g_feat_b = b16(g_feat)
-    g_alpha_b = b16(g_alpha)
-    g_a = _dot_nt(g_feat_b, wf[:]) + _dot_nt(g_alpha_b, wa[:])
-
-    g_x_acc = [jnp.zeros((T, d), jnp.float32) for d in st.dparts]
-    g_pres = []
-    for i in reversed(range(st.depth)):
-        g_pre = g_a * (f32(acts[i]) > 0)
-        g_pre_b = b16(g_pre)
-        g_pres.append((i, g_pre, g_pre_b))
-        wh, wxs = trunk[i]
-        if i == 0:
-            for k, w0k in enumerate(wxs):
-                g_x_acc[k] = g_x_acc[k] + _dot_nt(g_pre_b, w0k[:])
-            break
-        g_a = _dot_nt(g_pre_b, wh[:])
-        if wxs is not None:
-            for k, wxk in enumerate(wxs):
-                g_x_acc[k] = g_x_acc[k] + _dot_nt(g_pre_b, wxk[:])
+    g_x_acc, g_xvs = _mlp_bwd_tile(st, xs, xvs, wrefs, grefs, g_ref[:])
 
     # --- encode backward: pull (dv, dr, dxv) to (dp, denc) ---
     dp, denc = enc_pull((b16(g_x_acc[0]), b16(g_x_acc[1]),
@@ -226,31 +264,6 @@ def _bwd_kernel(st: MLPStatic, est: EncStatic, *refs):
     if est.has_codes:
         dc = g_xvs[1].reshape(est.rpt, est.S, -1).sum(axis=1)
         dcodes_ref[:] = dc.astype(dcodes_ref.dtype)
-
-    # --- weight grads, flatten order ---
-    g_pre_by_layer = {i: (gp, gpb) for i, gp, gpb in g_pres}
-    for i in range(st.depth):
-        g_pre, g_pre_b = g_pre_by_layer[i]
-        if i == 0:
-            for xk in xs:
-                add(next(git), _dot_tn(xk, g_pre_b))
-        else:
-            add(next(git), _dot_tn(acts[i - 1], g_pre_b))
-            if st.has_x_part(i):
-                for xk in xs:
-                    add(next(git), _dot_tn(xk, g_pre_b))
-        add(next(git), jnp.sum(g_pre, axis=0, keepdims=True))
-    a_last = acts[-1]
-    add(next(git), _dot_tn(a_last, g_alpha_b))
-    add(next(git), jnp.sum(g_alpha, axis=0, keepdims=True))
-    add(next(git), _dot_tn(a_last, g_feat_b))
-    add(next(git), jnp.sum(g_feat, axis=0, keepdims=True))
-    add(next(git), _dot_tn(feat, g_hv_b))
-    for xvk in xvs:
-        add(next(git), _dot_tn(xvk, g_hv_b))
-    add(next(git), jnp.sum(g_hv, axis=0, keepdims=True))
-    add(next(git), _dot_tn(hv, g_rgb_b))
-    add(next(git), jnp.sum(g_rgb, axis=0, keepdims=True))
 
 
 def _block_spec(rpt, width):
@@ -341,6 +354,188 @@ def _fused_bwd(st, est, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Dual-network variant: encode ONCE, run BOTH the coarse and the fine MLP
+# on the same point tile.  The reference evaluates the coarse net and the
+# fine net on the same stratified samples (raycasters.py:438,456-461); as
+# two separate fused calls the in-VMEM encode (and, in the backward, the
+# encode pullback) runs twice per point.  This kernel shares it: ~30% of
+# the per-step kernel time at the flagship recipe.
+# ---------------------------------------------------------------------------
+
+def _dual_in_specs(st: MLPStatic, est: EncStatic, J: int):
+    specs = [_tile_spec(st.tile, 3 * J),                  # pts_t
+             _block_spec(est.rpt, est.view_nb * 3 * J)]   # enc_ray
+    if est.has_codes:
+        specs += [_block_spec(est.rpt, st.vparts[1])] * 2  # codes c/f
+    specs += [_const_spec((1, J)), _const_spec((1, 1))]   # cutoff, tau
+    return specs
+
+
+def _fwd_kernel_dual(st: MLPStatic, est: EncStatic, *refs):
+    k = 2 + (2 if est.has_codes else 0)
+    p, enc_blk = refs[0][:], refs[1][:]
+    codes = (refs[2][:], refs[3][:]) if est.has_codes else (None, None)
+    cutoff, tau = refs[k][:], refs[k + 1][0, 0]
+    n_w = _num_weight_operands(st)
+    wrefs_all = (refs[k + 2:k + 2 + n_w],
+                 refs[k + 2 + n_w:k + 2 + 2 * n_w])
+    out_refs = (refs[-2], refs[-1])
+
+    v, r, xv = _encode_tile(est, p, enc_blk, cutoff, tau)
+    b16 = lambda a: a.astype(jnp.bfloat16)
+    xs = [b16(v), b16(r)]
+    xv_b = b16(xv)
+    T = p.shape[0]
+    for net in range(2):
+        xvs = [xv_b]
+        if est.has_codes:
+            xvs.append(b16(_codes_tile(est, codes[net], T)))
+        _, _, _, rgb, alpha = _forward_tile(st, xs, xvs, wrefs_all[net])
+        out_refs[net][:] = jnp.concatenate([rgb, alpha], axis=-1)
+
+
+def _bwd_kernel_dual(st: MLPStatic, est: EncStatic, *refs):
+    k = 2 + (2 if est.has_codes else 0)
+    n_w = _num_weight_operands(st)
+    n_g = len(_weight_shapes(st))
+    p, enc_blk = refs[0][:], refs[1][:]
+    codes = (refs[2][:], refs[3][:]) if est.has_codes else (None, None)
+    cutoff, tau = refs[k][:], refs[k + 1][0, 0]
+    g_refs = (refs[k + 2], refs[k + 3])
+    wrefs_all = (refs[k + 4:k + 4 + n_w],
+                 refs[k + 4 + n_w:k + 4 + 2 * n_w])
+    orefs = refs[k + 4 + 2 * n_w:]
+    dp_ref, denc_ref = orefs[0], orefs[1]
+    dcodes_refs = (orefs[2], orefs[3]) if est.has_codes else (None, None)
+    grefs_all = orefs[k:]
+    grefs = (grefs_all[:n_g], grefs_all[n_g:])
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for gr in grefs_all:
+            gr[:] = jnp.zeros_like(gr)
+
+    T = p.shape[0]
+    b16 = lambda a: a.astype(jnp.bfloat16)
+
+    def enc_fn(p_, enc_):
+        v_, r_, xv_ = _encode_tile(est, p_, enc_, cutoff, tau)
+        return b16(v_), b16(r_), b16(xv_)
+
+    (v, r, xv), enc_pull = jax.vjp(enc_fn, p, enc_blk)
+    xs = [v, r]
+    gx_tot = [jnp.zeros((T, d), jnp.float32) for d in st.dparts]
+    gxv_tot = jnp.zeros((T, st.vparts[0]), jnp.float32)
+    for net in range(2):
+        xvs = [xv]
+        if est.has_codes:
+            xvs.append(b16(_codes_tile(est, codes[net], T)))
+        g_x_acc, g_xvs = _mlp_bwd_tile(st, xs, xvs, wrefs_all[net],
+                                       grefs[net], g_refs[net][:])
+        gx_tot = [a + b for a, b in zip(gx_tot, g_x_acc)]
+        gxv_tot = gxv_tot + g_xvs[0]
+        if est.has_codes:
+            dc = g_xvs[1].reshape(est.rpt, est.S, -1).sum(axis=1)
+            dcodes_refs[net][:] = dc.astype(dcodes_refs[net].dtype)
+
+    # both networks consume the same encoded tile -> cotangents add
+    dp, denc = enc_pull((b16(gx_tot[0]), b16(gx_tot[1]), b16(gxv_tot)))
+    dp_ref[:] = dp.astype(dp_ref.dtype)
+    denc_ref[:] = denc.astype(denc_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_dual(st: MLPStatic, est: EncStatic, p, enc_ray,
+                codes_c, codes_f, cutoff, tau, flat_c, flat_f):
+    return _fused_dual_fwd(st, est, p, enc_ray, codes_c, codes_f,
+                           cutoff, tau, flat_c, flat_f)[0]
+
+
+def _fused_dual_fwd(st, est, p, enc_ray, codes_c, codes_f, cutoff, tau,
+                    flat_c, flat_f):
+    n = p.shape[0]
+    grid = (n // st.tile,)
+    J = est.J
+    args = [p, enc_ray] \
+        + ([codes_c, codes_f] if est.has_codes else []) \
+        + [cutoff, tau] + list(flat_c) + list(flat_f)
+    wspecs = [_const_spec(s) for s, _ in _weight_shapes(st)]
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel_dual, st, est),
+        grid=grid,
+        in_specs=_dual_in_specs(st, est, J) + wspecs + wspecs,
+        out_specs=[_tile_spec(st.tile, 4)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((n, 4), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * _mlp_flops(st, n),
+            bytes_accessed=n * 3 * J * 4 + 2 * n * 16,
+            transcendentals=n * (2 * len(est.kp_freqs) + 2) * J),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=st.interpret,
+    )(*args)
+    return tuple(outs), (p, enc_ray, codes_c, codes_f, cutoff, tau,
+                         flat_c, flat_f)
+
+
+def _fused_dual_bwd(st, est, res, g):
+    p, enc_ray, codes_c, codes_f, cutoff, tau, flat_c, flat_f = res
+    g_c, g_f = g
+    n = p.shape[0]
+    grid = (n // st.tile,)
+    J = est.J
+    gshapes = _weight_shapes(st)
+    out_shape = [jax.ShapeDtypeStruct(p.shape, p.dtype),
+                 jax.ShapeDtypeStruct(enc_ray.shape, enc_ray.dtype)]
+    out_specs = [_tile_spec(st.tile, 3 * J),
+                 _block_spec(est.rpt, est.view_nb * 3 * J)]
+    if est.has_codes:
+        for c in (codes_c, codes_f):
+            out_shape.append(jax.ShapeDtypeStruct(c.shape, c.dtype))
+            out_specs.append(_block_spec(est.rpt, st.vparts[1]))
+    out_shape += [jax.ShapeDtypeStruct(s, jnp.float32)
+                  for s, _ in gshapes] * 2
+    out_specs += [_const_spec(s) for s, _ in gshapes] * 2
+    wspecs = [_const_spec(s) for s, _ in gshapes]
+    args = [p, enc_ray] \
+        + ([codes_c, codes_f] if est.has_codes else []) \
+        + [cutoff, tau, g_c.astype(jnp.float32), g_f.astype(jnp.float32)] \
+        + list(flat_c) + list(flat_f)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel_dual, st, est),
+        grid=grid,
+        in_specs=_dual_in_specs(st, est, J)
+        + [_tile_spec(st.tile, 4)] * 2 + wspecs + wspecs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * _mlp_flops(st, n),
+            bytes_accessed=2 * n * 3 * J * 4 + 2 * n * 16,
+            transcendentals=2 * n * (2 * len(est.kp_freqs) + 2) * J),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=st.interpret,
+    )(*args)
+    k = 2 + (2 if est.has_codes else 0)
+    dp, denc = outs[0], outs[1]
+    if est.has_codes:
+        dcodes_c, dcodes_f = outs[2], outs[3]
+    else:
+        dcodes_c = jnp.zeros_like(codes_c)
+        dcodes_f = jnp.zeros_like(codes_f)
+    n_g = len(gshapes)
+    dflat_c = [gr.astype(d)
+               for gr, (_, d) in zip(outs[k:k + n_g], gshapes)]
+    dflat_f = [gr.astype(d)
+               for gr, (_, d) in zip(outs[k + n_g:], gshapes)]
+    return (dp, denc, dcodes_c, dcodes_f, jnp.zeros_like(cutoff),
+            jnp.zeros_like(tau), dflat_c, dflat_f)
+
+
+_fused_dual.defvjp(_fused_dual_fwd, _fused_dual_bwd)
+
+
 def flatten_params_cm(net_params: Dict[str, Any], st: MLPStatic,
                       J: int, view_nb: int) -> List[jnp.ndarray]:
     """flatten_params with the bone/view weight rows permuted to the
@@ -410,22 +605,12 @@ def view_pe_rows(rays_t_norm: jnp.ndarray, freq_bands: Sequence[float],
     return enc[..., jnp.asarray(perm)]
 
 
-def nerf_encmlp_pallas(net_params: Dict[str, Any], rc,
-                       pts_t: jnp.ndarray,
-                       rays_t_norm: jnp.ndarray,
-                       cutoff_dist: jnp.ndarray,
-                       tau,
-                       cam_idxs: Optional[jnp.ndarray] = None,
-                       interpret: Optional[bool] = None,
-                       tile: int = 512) -> Optional[jnp.ndarray]:
-    """Fused encode+MLP for one network pass.
+def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
+                interpret, tile):
+    """Shared prep for the fused entries: statics + kernel inputs.
 
-    Args:
-      pts_t: (R, S, J, 3) skeleton-relative points (f32).
-      rays_t_norm: (R, 3J) normalized per-joint local ray dirs.
-      cutoff_dist: (J,) window radii; tau: window sharpness scalar.
-      cam_idxs: (R,) framecode indices or None.
-    Returns (R, S, 4) raw, or None if the shape doesn't tile.
+    Returns None if the (R, S) shape does not tile, else
+    (st, est, p, enc_ray, cutoff2d, tau2d).
     """
     R, S, J, _ = pts_t.shape
     n = R * S
@@ -460,15 +645,82 @@ def nerf_encmlp_pallas(net_params: Dict[str, Any], rc,
                            [float(f) for f in rc.view_embed.freq_bands()],
                            J)
     enc_ray = enc_ray.astype(jnp.float32)
+    cutoff2d = jnp.asarray(cutoff_dist, jnp.float32).reshape(1, J)
+    tau2d = jnp.asarray(tau, jnp.float32).reshape(1, 1)
+    return st, est, p, enc_ray, cutoff2d, tau2d
+
+
+def nerf_encmlp_pallas(net_params: Dict[str, Any], rc,
+                       pts_t: jnp.ndarray,
+                       rays_t_norm: jnp.ndarray,
+                       cutoff_dist: jnp.ndarray,
+                       tau,
+                       cam_idxs: Optional[jnp.ndarray] = None,
+                       interpret: Optional[bool] = None,
+                       tile: int = 512) -> Optional[jnp.ndarray]:
+    """Fused encode+MLP for one network pass.
+
+    Args:
+      pts_t: (R, S, J, 3) skeleton-relative points (f32).
+      rays_t_norm: (R, 3J) normalized per-joint local ray dirs.
+      cutoff_dist: (J,) window radii; tau: window sharpness scalar.
+      cam_idxs: (R,) framecode indices or None.
+    Returns (R, S, 4) raw, or None if the shape doesn't tile.
+    """
+    R, S, J, _ = pts_t.shape
+    built = _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau,
+                        cam_idxs, interpret, tile)
+    if built is None:
+        return None
+    st, est, p, enc_ray, cutoff2d, tau2d = built
     codes = None
     if est.has_codes:
         from ..models.nerf_mlp import framecode_lookup
         codes = framecode_lookup(net_params['framecodes'],
                                  cam_idxs).astype(jnp.float32)
     flat = flatten_params_cm(net_params, st, J, est.view_nb)
-    cutoff2d = jnp.asarray(cutoff_dist, jnp.float32).reshape(1, J)
-    tau2d = jnp.asarray(tau, jnp.float32).reshape(1, 1)
     raw = _fused(st, est, p, enc_ray,
                  codes if codes is not None else jnp.zeros((R, 0)),
                  cutoff2d, tau2d, flat)
     return raw.reshape(R, S, 4)
+
+
+def nerf_encmlp_dual_pallas(coarse_params: Dict[str, Any],
+                            fine_params: Dict[str, Any], rc,
+                            pts_t: jnp.ndarray,
+                            rays_t_norm: jnp.ndarray,
+                            cutoff_dist: jnp.ndarray,
+                            tau,
+                            cam_idxs: Optional[jnp.ndarray] = None,
+                            interpret: Optional[bool] = None,
+                            tile: int = 512
+                            ) -> Optional[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Fused encode + BOTH MLPs on the same points (one kernel call).
+
+    The reference runs the coarse and fine networks on the identical
+    stratified samples (core/raycasters.py:438,456-461); sharing the
+    in-VMEM encode (fwd) and its pullback (bwd) across the two networks
+    removes the duplicated VPU work of two single-net calls.
+
+    Returns (raw_coarse, raw_fine), each (R, S, 4), or None if the
+    shape doesn't tile.
+    """
+    R, S, J, _ = pts_t.shape
+    built = _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau,
+                        cam_idxs, interpret, tile)
+    if built is None:
+        return None
+    st, est, p, enc_ray, cutoff2d, tau2d = built
+    if est.has_codes:
+        from ..models.nerf_mlp import framecode_lookup
+        codes_c = framecode_lookup(coarse_params['framecodes'],
+                                   cam_idxs).astype(jnp.float32)
+        codes_f = framecode_lookup(fine_params['framecodes'],
+                                   cam_idxs).astype(jnp.float32)
+    else:
+        codes_c = codes_f = jnp.zeros((R, 0))
+    flat_c = flatten_params_cm(coarse_params, st, J, est.view_nb)
+    flat_f = flatten_params_cm(fine_params, st, J, est.view_nb)
+    raw_c, raw_f = _fused_dual(st, est, p, enc_ray, codes_c, codes_f,
+                               cutoff2d, tau2d, flat_c, flat_f)
+    return raw_c.reshape(R, S, 4), raw_f.reshape(R, S, 4)

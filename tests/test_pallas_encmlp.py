@@ -114,6 +114,63 @@ def test_fused_matches_xla_gradient_direction():
         assert abs(np.linalg.norm(b) / na - 1) < 0.1
 
 
+def test_dual_matches_single_calls():
+    """The dual-net kernel (shared encode) must reproduce two single-net
+    fused calls: forward exactly, gradients up to the one extra f32-sum-
+    before-bf16-cast of the shared encode cotangent."""
+    from anerf_tpu.ops import encoders
+    rc, params, batch, est, pose = build()
+    skts = pose['skts']
+    rays_t = encoders.transform_batch_rays(batch['rays_d'][:, None], skts)
+    rays_t_norm = encoders.vec_norm(rays_t)[:, 0]
+    z = jnp.linspace(0.2, 1.5, rc.N_samples)
+    pts = batch['rays_o'][:, None] + batch['rays_d'][:, None] * z[None, :, None]
+    cut = params['cutoff_dist']
+    cam = batch['cam_idxs']
+
+    def single(params_net, pts_t):
+        return PE.nerf_encmlp_pallas(params_net, rc, pts_t, rays_t_norm,
+                                     cut, 100.0, cam)
+
+    def dual(pc, pf, pts_t):
+        return PE.nerf_encmlp_dual_pallas(pc, pf, rc, pts_t, rays_t_norm,
+                                          cut, 100.0, cam)
+
+    pts_t = encoders.transform_batch_pts(pts, skts).astype(jnp.float32)
+    a_c = single(params['coarse'], pts_t)
+    a_f = single(params['fine'], pts_t)
+    b_c, b_f = dual(params['coarse'], params['fine'], pts_t)
+    np.testing.assert_allclose(np.asarray(a_c), np.asarray(b_c),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_f), np.asarray(b_f),
+                               rtol=0, atol=1e-5)
+
+    def loss_single(pc, pf, pts_t):
+        return (single(pc, pts_t) ** 2).mean() + \
+            (single(pf, pts_t) ** 2).mean()
+
+    def loss_dual(pc, pf, pts_t):
+        rc_, rf_ = dual(pc, pf, pts_t)
+        return (rc_ ** 2).mean() + (rf_ ** 2).mean()
+
+    g_a = jax.grad(loss_single, argnums=(0, 1, 2))(
+        params['coarse'], params['fine'], pts_t)
+    g_b = jax.grad(loss_dual, argnums=(0, 1, 2))(
+        params['coarse'], params['fine'], pts_t)
+    la, _ = jax.tree_util.tree_flatten(g_a)
+    lb, _ = jax.tree_util.tree_flatten(g_b)
+    for a, b in zip(la, lb):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        na = np.linalg.norm(a)
+        if na < 1e-12:
+            assert np.linalg.norm(b) < 1e-10
+            continue
+        cos = a @ b / (na * np.linalg.norm(b) + 1e-30)
+        assert cos > 0.9999, cos
+        assert abs(np.linalg.norm(b) / na - 1) < 5e-3
+
+
 def test_fallback_on_untileable_shapes():
     # 5 rays x 64 samples = 320 points: tiles to 64 (rpt=1) fine — use a
     # sample count that cannot tile instead
