@@ -177,21 +177,29 @@ def _run_network(rc: RayCastConfig, net_params, v, r, d, cam_idxs,
     return nerf_forward(net_params, rc.nerf, x_pts, d, codes=codes)
 
 
-def _merge_encoded(x_coarse, x_fine, sorted_idxs):
-    """Sorted union along the sample axis preserving autograd
-    (reference _merge_encodings/merge_samples, raycasters.py:679-709,
-    796-812)."""
-    if x_coarse is None:
-        return None
-    cat = jnp.concatenate([x_coarse, x_fine], axis=1)
-    idx = sorted_idxs
-    while idx.ndim < cat.ndim:
-        idx = idx[..., None]
-    return jnp.take_along_axis(cat, idx, axis=1)
+def _rank_perm(ranks):
+    """One-hot permutation P[k, p] = 1 iff concat element k lands at
+    sorted position p.  Built from the RANKS (forward permutation) so no
+    inverse-permutation scatter is ever materialized — scatters lower
+    serially on TPU, one-hot + matmul stays on VPU/MXU.  Shared by the
+    z-merge and the raw-output merge (and reused by their backwards)."""
+    K = ranks.shape[-1]
+    return jax.lax.stop_gradient(
+        jax.nn.one_hot(ranks, K, dtype=jnp.float32))
 
 
-def _permute_rows(x, sorted_idxs):
-    """Apply the per-ray sample permutation to thin per-sample rows.
+def _permute_vals(P, z_cat):
+    """Sorted union of depth values: out[p] = sum_k P[k,p] * z_cat[k].
+    One-hot rows pick a single addend in f32, so values pass through
+    bit-exact and gradients flow to z_cat like a gather (reference
+    torch.sort values, ray_utils.py:283-287)."""
+    return jnp.einsum('rk,rkp->rp', z_cat, P,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _permute_rows(x, P):
+    """Sorted union of thin per-sample rows via the same one-hot matmul
+    (reference gather-based merge_samples, raycasters.py:796-812).
 
     ``take_along_axis`` on (R, S, 4) lowers to S-row gathers of 4-float
     rows — far below the 128-lane width, ~2ms/step at flagship size.
@@ -199,8 +207,7 @@ def _permute_rows(x, sorted_idxs):
     (f32, so the raw values pass through bit-exact: one-hot rows pick
     a single addend, and XLA won't downcast f32 matmuls uninvited).
     """
-    P = jax.nn.one_hot(sorted_idxs, x.shape[1], dtype=jnp.float32)
-    return jnp.matmul(jax.lax.stop_gradient(P), x.astype(jnp.float32),
+    return jnp.einsum('rkp,rkc->rpc', P, x.astype(jnp.float32),
                       precision=jax.lax.Precision.HIGHEST)
 
 
@@ -335,10 +342,13 @@ def render_rays(rc: RayCastConfig,
     ret0 = None
     if rc.N_importance > 0:
         ret0 = ret
-        z_merged, z_samples, sorted_idxs = ray_ops.isample_from_lineseg(
+        z_samples, ranks = ray_ops.isample_ranks(
             z_vals, ret0['weights'], rc.N_importance,
             det=(rc.perturb == 0.), is_only=rc.single_net,
             rng=k_fine, u=fixed.get('fine_u'))
+        P = _rank_perm(ranks)
+        z_merged = _permute_vals(P, jnp.concatenate([z_vals, z_samples],
+                                                    axis=-1))
         pts_is = rays_o[:, None] + rays_d[:, None] * z_samples[..., None]
         if rc.ray_noise_std > 0. and k_ray2 is not None:
             pts_is = pts_is + jax.random.normal(k_ray2, pts_is.shape) \
@@ -357,11 +367,10 @@ def render_rays(rc: RayCastConfig,
                 else run_pass(fine_params, pts, 'coarse')
             raw_n = run_pass(fine_params, pts_is, 'fine')
             raw_all = jnp.concatenate([raw_c, raw_n], axis=1)
-            raw = _permute_rows(raw_all, sorted_idxs)
+            raw = _permute_rows(raw_all, P)
         else:
             raw_is = run_pass(fine_params, pts_is, 'fine')
-            raw = _permute_rows(jnp.concatenate([raw, raw_is], axis=1),
-                                sorted_idxs)
+            raw = _permute_rows(jnp.concatenate([raw, raw_is], axis=1), P)
 
         noise = fixed.get('fine_noise')
         if noise is None and rc.raw_noise_std > 0. and k_fnoise is not None:

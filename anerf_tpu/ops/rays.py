@@ -157,6 +157,56 @@ def sample_pdf(bins: jnp.ndarray, weights: jnp.ndarray, N_samples: int,
     return jax.lax.stop_gradient(samples)
 
 
+def isample_ranks(z_vals: jnp.ndarray, weights: jnp.ndarray,
+                  N_importance: int,
+                  det: bool = False,
+                  is_only: bool = False,
+                  alpha_base: float = 0.01,
+                  rng: Optional[jax.Array] = None,
+                  u: Optional[jnp.ndarray] = None,
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Importance sampling + sorted-union RANKS of [z_vals | z_samples].
+
+    The merge itself is left to the caller: ``ranks[k]`` is the position
+    of concatenated element k in the sorted union (stable, coarse before
+    fine on ties — exactly torch.sort's order on the concatenation,
+    reference ray_utils.py:283-287).  Rank-counting with comparison
+    matrices costs O(K^2) VPU compares but lowers with no sort and no
+    scatter, both of which are serial bottlenecks on TPU.
+
+    Returns:
+      z_samples: (N_rays, N_importance) new samples (grad-stopped).
+      ranks: (N_rays, N_samples + N_importance) int32.
+    """
+    z_mid = .5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    if is_only:
+        w_l = weights[..., 0:-2]
+        w_k = weights[..., 1:-1]
+        w_u = weights[..., 2:]
+        dist_w = 0.5 * (jnp.maximum(w_l, w_k) + jnp.maximum(w_k, w_u)) + alpha_base
+    else:
+        dist_w = weights[..., 1:-1]
+    z_samples = sample_pdf(z_mid, dist_w, N_importance, det=det, rng=rng, u=u)
+    # z_vals is already sorted, so each element's final position is its
+    # own index plus the count of elements from the other list before it
+    # (ties: coarse-before-fine, matching stable sort on the concat).
+    S = z_vals.shape[-1]
+    rank_coarse = jnp.arange(S) + jnp.sum(
+        z_samples[..., None, :] < z_vals[..., :, None], axis=-1)
+    # stable rank of z_samples among themselves, again by counting
+    # (ties broken by original index) — no argsort
+    lt = z_samples[..., None, :] < z_samples[..., :, None]
+    I = z_samples.shape[-1]
+    eq_before = jnp.logical_and(
+        z_samples[..., None, :] == z_samples[..., :, None],
+        (jnp.arange(I)[:, None] > jnp.arange(I)[None, :]))
+    rank_in_samples = jnp.sum(jnp.logical_or(lt, eq_before), axis=-1)
+    rank_fine = rank_in_samples + jnp.sum(
+        z_vals[..., None, :] <= z_samples[..., :, None], axis=-1)
+    ranks = jnp.concatenate([rank_coarse, rank_fine], axis=-1)
+    return z_samples, ranks.astype(jnp.int32)
+
+
 def isample_from_lineseg(z_vals: jnp.ndarray, weights: jnp.ndarray,
                          N_importance: int,
                          det: bool = False,
@@ -170,35 +220,18 @@ def isample_from_lineseg(z_vals: jnp.ndarray, weights: jnp.ndarray,
     Matches reference ``isample_from_lineseg`` (ray_utils.py:255-289),
     including the single-network smoothed-max weighting
     ``0.5*(max(w_l,w_k)+max(w_k,w_u)) + alpha_base`` when ``is_only``.
+    (The hot path uses :func:`isample_ranks` + a one-hot permutation
+    matmul instead; this wrapper keeps the reference-shaped API.)
 
     Returns:
       z_merged: (N_rays, N_samples + N_importance) sorted union.
       z_samples: (N_rays, N_importance) the new samples (grad-stopped).
       sorted_idxs: argsort indices into the concatenated [z_vals, z_samples].
     """
-    z_mid = .5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    if is_only:
-        w_l = weights[..., 0:-2]
-        w_k = weights[..., 1:-1]
-        w_u = weights[..., 2:]
-        dist_w = 0.5 * (jnp.maximum(w_l, w_k) + jnp.maximum(w_k, w_u)) + alpha_base
-    else:
-        dist_w = weights[..., 1:-1]
-    z_samples = sample_pdf(z_mid, dist_w, N_importance, det=det, rng=rng, u=u)
+    z_samples, ranks = isample_ranks(z_vals, weights, N_importance,
+                                     det=det, is_only=is_only,
+                                     alpha_base=alpha_base, rng=rng, u=u)
     z_cat = jnp.concatenate([z_vals, z_samples], -1)
-    # Sorted union via rank counting instead of a general sort:
-    # z_vals is already sorted, so each element's final position is its
-    # own index plus the count of elements from the other list before it
-    # (ties: coarse-before-fine, matching argsort's stable order on the
-    # concatenation).  O(S*I) compares beat lowering a length-(S+I) sort.
-    S = z_vals.shape[-1]
-    rank_coarse = jnp.arange(S) + jnp.sum(
-        z_samples[..., None, :] < z_vals[..., :, None], axis=-1)
-    order_samples = jnp.argsort(z_samples, axis=-1)
-    rank_in_samples = jnp.argsort(order_samples, axis=-1)
-    rank_fine = rank_in_samples + jnp.sum(
-        z_vals[..., None, :] <= z_samples[..., :, None], axis=-1)
-    ranks = jnp.concatenate([rank_coarse, rank_fine], axis=-1)
     # sorted_idxs[pos] = index into z_cat  (inverse permutation of ranks,
     # built by scatter rather than another sort)
     total = ranks.shape[-1]
@@ -206,8 +239,6 @@ def isample_from_lineseg(z_vals: jnp.ndarray, weights: jnp.ndarray,
         jnp.zeros_like(ranks), ranks,
         jnp.broadcast_to(jnp.arange(total), ranks.shape),
         axis=-1, inplace=False)
-    # the sorted union scattered by the ranks we already hold — one
-    # scatter beats lowering a length-(S+I) bitonic sort
     z_merged = jnp.put_along_axis(jnp.zeros_like(z_cat), ranks, z_cat,
                                   axis=-1, inplace=False)
     return z_merged, z_samples, sorted_idxs

@@ -61,8 +61,17 @@ def main():
         total = sum(agg.values())
         print(f'total device ms over 10 steps: {total:.2f} '
               f'-> {total/10:.2f} ms/step')
-        for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:45]:
-            print(f'  {ms/10:8.3f} ms/step x{cnt[name]//10:<4d} {name[:110]}')
+        skip = ('copy-start', 'copy-done', 'slice-start', 'slice-done',
+                'all-reduce-start')
+        sync = 0.
+        for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:200]:
+            if any(s in name for s in skip):
+                continue
+            if ms / 10 < 0.02:
+                break
+            sync += ms
+            print(f'  {ms/10:8.3f} ms/step x{cnt[name]//10:<4d} {name[:140]}')
+        print(f'sum of printed (sync) ops: {sync/10:.2f} ms/step')
 
 
 if __name__ == '__main__':
