@@ -605,6 +605,13 @@ def view_pe_rows(rays_t_norm: jnp.ndarray, freq_bands: Sequence[float],
     return enc[..., jnp.asarray(perm)]
 
 
+# default point-tile (rows per kernel grid step); module-level so perf
+# sweeps (scripts/sweep_tile.py) can override it without threading a
+# parameter everywhere.  512 measured best on v5e (256 under-fills the
+# sublane tiling at rpt=4; 1024 doubles bwd VMEM pressure).
+DEFAULT_TILE = 512
+
+
 def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
                 interpret, tile):
     """Shared prep for the fused entries: statics + kernel inputs.
@@ -612,6 +619,8 @@ def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
     Returns None if the (R, S) shape does not tile, else
     (st, est, p, enc_ray, cutoff2d, tau2d).
     """
+    if tile is None:
+        tile = DEFAULT_TILE
     R, S, J, _ = pts_t.shape
     n = R * S
     while tile > 128 and (n < tile or tile % S != 0 or
@@ -657,7 +666,7 @@ def nerf_encmlp_pallas(net_params: Dict[str, Any], rc,
                        tau,
                        cam_idxs: Optional[jnp.ndarray] = None,
                        interpret: Optional[bool] = None,
-                       tile: int = 512) -> Optional[jnp.ndarray]:
+                       tile: Optional[int] = None) -> Optional[jnp.ndarray]:
     """Fused encode+MLP for one network pass.
 
     Args:
@@ -693,7 +702,7 @@ def nerf_encmlp_dual_pallas(coarse_params: Dict[str, Any],
                             tau,
                             cam_idxs: Optional[jnp.ndarray] = None,
                             interpret: Optional[bool] = None,
-                            tile: int = 512
+                            tile: Optional[int] = None
                             ) -> Optional[Tuple[jnp.ndarray, jnp.ndarray]]:
     """Fused encode + BOTH MLPs on the same points (one kernel call).
 
