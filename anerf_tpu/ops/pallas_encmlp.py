@@ -310,8 +310,18 @@ def _fused_fwd(st, est, p, enc_ray, codes, cutoff, tau, flat):
     return out, (p, enc_ray, codes, cutoff, tau, flat)
 
 
+def _bwd_statics(st, est):
+    """(st, est) with the BACKWARD tile substituted (bwd_tile may be
+    tuned independently of the forward tile)."""
+    if st.bwd_tile == st.tile:
+        return st, est
+    return (dataclasses.replace(st, tile=st.bwd_tile),
+            dataclasses.replace(est, rpt=st.bwd_tile // est.S))
+
+
 def _fused_bwd(st, est, res, g):
     p, enc_ray, codes, cutoff, tau, flat = res
+    st, est = _bwd_statics(st, est)
     n = p.shape[0]
     grid = (n // st.tile,)
     J = est.J
@@ -482,6 +492,7 @@ def _fused_dual_fwd(st, est, p, enc_ray, codes_c, codes_f, cutoff, tau,
 def _fused_dual_bwd(st, est, res, g):
     p, enc_ray, codes_c, codes_f, cutoff, tau, flat_c, flat_f = res
     g_c, g_f = g
+    st, est = _bwd_statics(st, est)
     n = p.shape[0]
     grid = (n // st.tile,)
     J = est.J
@@ -610,6 +621,7 @@ def view_pe_rows(rays_t_norm: jnp.ndarray, freq_bands: Sequence[float],
 # parameter everywhere.  512 measured best on v5e (256 under-fills the
 # sublane tiling at rpt=4; 1024 doubles bwd VMEM pressure).
 DEFAULT_TILE = 512
+DEFAULT_BWD_TILE = 512
 
 
 def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
@@ -621,6 +633,7 @@ def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
     """
     if tile is None:
         tile = DEFAULT_TILE
+    bwd_tile = DEFAULT_BWD_TILE
     R, S, J, _ = pts_t.shape
     n = R * S
     while tile > 128 and (n < tile or tile % S != 0 or
@@ -638,7 +651,10 @@ def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
                 + ((nerf.framecode_ch,) if (nerf.use_framecode and
                                             cam_idxs is not None) else ())),
         half=nerf.width // 2, skips=tuple(nerf.skips),
-        tile=tile, bwd_tile=tile,
+        tile=tile,
+        bwd_tile=(bwd_tile if bwd_tile % S == 0 and
+                  R % (bwd_tile // S) == 0 and n % bwd_tile == 0
+                  else tile),
         interpret=(not _is_tpu_backend()) if interpret is None
         else interpret)
     est = EncStatic(J=J, kp_freqs=tuple(float(f) for f in

@@ -12,8 +12,9 @@ from anerf_tpu.ops import pallas_encmlp as PE
 
 
 def main():
-    for tile in (256, 512, 1024):
+    for tile, bwd in ((512, 512), (512, 1024), (512, 2048), (1024, 1024)):
         PE.DEFAULT_TILE = tile
+        PE.DEFAULT_BWD_TILE = bwd
         try:
             setup, state, batch, step_fn = T.build_flagship(
                 n_rays=2048, opt_pose=True, compute_dtype='bfloat16')
@@ -30,10 +31,10 @@ def main():
                 state, stats = step(state, batch, rng)
             _ = float(stats['total_loss'])
             dt = (time.perf_counter() - t0) / 30
-            print(f'tile={tile:5d}  {dt*1e3:7.2f} ms/step  '
+            print(f'tile={tile:5d} bwd={bwd:5d}  {dt*1e3:7.2f} ms/step  '
                   f'{2048/dt:9.0f} rays/s')
         except Exception as e:
-            print(f'tile={tile:5d}  FAILED: {str(e)[:200]}')
+            print(f'tile={tile:5d} bwd={bwd:5d}  FAILED: {str(e)[:200]}')
 
 
 if __name__ == '__main__':

@@ -97,6 +97,37 @@ def test_testopt_freezes_nerf_refines_pose():
     assert np.abs(np.asarray(state['pose_params']['bones']) - b0).max() > 0
 
 
+# --- opt_pose_joint (FlipFlop joint scheduler through the trainer) ---------
+
+def test_opt_pose_joint_fires_on_flipflop_gates():
+    """--opt_pose_joint routes pose updates through the FlipFlop joint
+    gates (reference PoseOptFlipFlop opt_pose_joint path,
+    pose_opt.py:676-727): NeRF steps every iter, the pose Adam fires
+    every opt_pose_step iters inside the warmup/stop window."""
+    # softplus density: the tiny seed leaves the coarse net's relu
+    # density fully dead at init (all sigma<0 -> legitimately zero
+    # NeRF gradients), which would make the movement asserts vacuous
+    cfg = tiny_config(opt_pose=True, opt_pose_step=2, opt_pose_coef=0.1,
+                      opt_pose_joint=True, perturb=0.,
+                      density_type='softplus')
+    setup, batch, (kps, bones) = make_setup_and_batch(cfg)
+    state = init_train_state(setup, jax.random.PRNGKey(0),
+                             init_kp3d=kps, init_bones=bones)
+    step = jax.jit(make_train_step(setup))
+    w0 = np.asarray(state['params']['coarse']['rgb_linear']['w']).copy()
+    b0 = np.asarray(state['pose_params']['bones']).copy()
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    # step 0 -> reference iter 1: 1 % 2 != 0, pose bank must not move
+    np.testing.assert_array_equal(
+        np.asarray(state['pose_params']['bones']), b0)
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    # iter 2: pose fires on the accumulated gradient
+    assert np.abs(np.asarray(state['pose_params']['bones']) - b0).max() > 0
+    # NeRF stepped every iteration throughout
+    assert np.abs(np.asarray(
+        state['params']['coarse']['rgb_linear']['w']) - w0).max() > 0
+
+
 # --- init_poseopt / no_poseopt_reload / use_ckpt_anchor --------------------
 
 def test_pose_payload_roundtrip_and_no_reload(tmp_path):
