@@ -143,8 +143,8 @@ class BaseH5Dataset:
     # --- per-image sampling ---------------------------------------------
 
     def get_item(self, q_idx: int,
-                 rng: Optional[np.random.Generator] = None
-                 ) -> Dict[str, np.ndarray]:
+                 rng: Optional[np.random.Generator] = None,
+                 host_slice=None) -> Dict[str, np.ndarray]:
         """One image's sampled rays (reference __getitem__)."""
         rng = rng or np.random.default_rng()
         idx = self._idx_map[q_idx] if self._idx_map is not None else q_idx
@@ -154,7 +154,8 @@ class BaseH5Dataset:
             idx, q_idx, self.N_samples)
         kp_idxs, kps, bones, skts, cyls = self.get_pose_data(
             idx, q_idx, self.N_samples)
-        pixel_idxs = self.sample_pixels(idx, q_idx, rng)
+        pixel_idxs = self.sample_pixels(idx, q_idx, rng,
+                                        host_slice=host_slice)
         rays_o, rays_d = self.get_rays(c2w, focal, pixel_idxs, center)
         rays_rgb, fg, bg = self.get_img_data(idx, pixel_idxs)
 
@@ -188,18 +189,41 @@ class BaseH5Dataset:
                 img = img * fg + (1. - fg) * bg
         return img, fg, bg
 
-    def sample_pixels(self, idx, q_idx, rng: np.random.Generator):
+    def sample_pixels(self, idx, q_idx, rng: np.random.Generator,
+                      host_slice=None):
         """Sample N_samples pixel indices from the sampling mask, with
         optional patch sampling and out-of-mask (NMS) replacement
-        (reference dataset.py:277-322)."""
+        (reference dataset.py:277-322).
+
+        ``host_slice=(process_index, process_count)`` makes multi-host
+        pixel batches disjoint BY CONSTRUCTION: all hosts share ``rng``
+        (seeded host-independently), draw one global
+        ``N_rand * process_count`` sample without replacement, and each
+        host keeps its own block.  Host-local randomness (NMS, the
+        too-few-pixels fallback) comes from a spawned per-host child so
+        the shared stream stays aligned across hosts.
+        """
         p = self.patch_size
         N_rand = self.N_samples // int(p ** 2)
         sampling_mask = self.dataset['sampling_masks'][idx].reshape(-1)
         valid_idxs, = np.where(sampling_mask > 0)
         if len(valid_idxs) == 0:
             valid_idxs = np.arange(sampling_mask.shape[0])
-        sampled_idxs = rng.choice(valid_idxs, N_rand,
-                                  replace=len(valid_idxs) < N_rand)
+        pidx, pcnt = host_slice if host_slice is not None else (0, 1)
+        if pcnt > 1:
+            host_rng = rng.spawn(pcnt)[pidx]
+            if len(valid_idxs) >= N_rand * pcnt:
+                draw = rng.choice(valid_idxs, N_rand * pcnt, replace=False)
+                sampled_idxs = draw[pidx * N_rand:(pidx + 1) * N_rand]
+            else:
+                # too few distinct pixels to partition: fall back to a
+                # per-host stream (collisions possible, flagged rare)
+                sampled_idxs = host_rng.choice(
+                    valid_idxs, N_rand, replace=len(valid_idxs) < N_rand)
+            rng = host_rng
+        else:
+            sampled_idxs = rng.choice(valid_idxs, N_rand,
+                                      replace=len(valid_idxs) < N_rand)
         if p > 1:
             H, W = self.HW
             hs = np.clip(sampled_idxs // W, 0, H - p)
@@ -398,10 +422,11 @@ class ConcatH5Dataset:
     def __len__(self):
         return int(self.cumulative_sizes[-1])
 
-    def get_item(self, idx, rng=None):
+    def get_item(self, idx, rng=None, host_slice=None):
         d_idx = int(np.searchsorted(self.cumulative_sizes, idx, side='right'))
         s_idx = idx if d_idx == 0 else idx - self.cumulative_sizes[d_idx - 1]
-        ret = self.datasets[d_idx].get_item(int(s_idx), rng)
+        ret = self.datasets[d_idx].get_item(int(s_idx), rng,
+                                            host_slice=host_slice)
         if d_idx != 0:
             ret['cam_idxs'] = ret['cam_idxs'] + self.cumulative_views[d_idx - 1]
             ret['kp_idx'] = ret['kp_idx'] + self.cumulative_kps[d_idx - 1]
@@ -456,8 +481,8 @@ class TemporalDatasetWrapper:
     def __getattr__(self, name):
         return getattr(self._dataset, name)
 
-    def get_item(self, idx, rng=None):
-        ret = self._dataset.get_item(idx, rng)
+    def get_item(self, idx, rng=None, host_slice=None):
+        ret = self._dataset.get_item(idx, rng, host_slice=host_slice)
         tv = self._dataset.temp_validity
         next_idx = (idx + 1) % len(tv)
         temp_val = (tv[idx] + tv[next_idx]) // 2

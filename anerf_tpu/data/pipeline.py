@@ -7,12 +7,17 @@ releases the GIL during reads, so a small thread pool keeps the TPU fed
 without the reference's worker processes.
 
 Multi-host: every host runs the same image sampler (same seed -> same
-image indices per step) but samples its own pixel slice per image, so
-the hosts' batches are disjoint-by-construction slices of one logical
-global batch — assembled into global arrays by
-``parallel.sharding.make_global_batch``.  This is the per-host analog
-of the reference's single-host DataLoader feeding DataParallel
-(core/load_data.py:78-80).
+image indices per step) AND the same host-independently seeded pixel
+RNG; each image's pixels are drawn as ONE global
+``N_rand * process_count`` sample without replacement of which host p
+keeps block p (dataset.sample_pixels ``host_slice``), so the hosts'
+batches are disjoint-by-construction slices of one logical global
+batch — assembled into global arrays by
+``parallel.sharding.make_global_batch``.  (Only when an image has
+fewer distinct valid pixels than the global draw does a host fall back
+to its own stream, where cross-host collisions are possible.)  This is
+the per-host analog of the reference's single-host DataLoader feeding
+DataParallel (core/load_data.py:78-80).
 
 Determinism: batch ``i`` is sampled with an RNG keyed on
 ``(seed, i, process_index)`` regardless of which worker thread produced
@@ -132,13 +137,15 @@ class Prefetcher:
                 return
             i, idxs = task
             # keyed on the batch index (not the worker id): the sampled
-            # pixels don't depend on thread scheduling.  process_index
-            # makes each host draw its own (disjoint-by-randomness)
-            # pixel slice of the logical global batch.
-            rng = np.random.default_rng(
-                [self.seed, i, self.process_index])
+            # pixels don't depend on thread scheduling.  The seed is
+            # host-INdependent: all hosts replay the same stream and
+            # partition each image's one global pixel draw via
+            # host_slice (disjoint-by-construction).
+            rng = np.random.default_rng([self.seed, i])
+            hs = (self.process_index, self.process_count)
             try:
-                items = [self.dataset.get_item(int(idx), rng)
+                items = [self.dataset.get_item(int(idx), rng,
+                                               host_slice=hs)
                          for idx in idxs]
             except Exception:
                 if self._stop.is_set():     # dataset torn down at shutdown

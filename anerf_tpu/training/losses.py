@@ -66,8 +66,16 @@ def acc2bce(x, y, reduction='mean', eps=1e-8):
     ``reduction='off'`` averages only over non-foreground pixels
     (reference trainer.py:44-54) — expressed as a masked mean so the
     shape stays static under jit.
+
+    The complement term is written ``max(1 - x, 0) + eps`` rather than
+    the reference's ``1 - x + eps``: under jit XLA constant-folds the
+    latter to ``(1 + eps) - x``, and in f32 ``1 + 1e-8 == 1`` exactly,
+    so fully-opaque rays (x == 1) would hit ``log(0) = -inf``.  The max
+    blocks the reassociation and is value-identical for x in [0, 1]
+    (acc is clamped to <= 1 upstream, compositing.py:74).
     """
-    bce = -(y * jnp.log(x + eps) + (1. - y) * jnp.log(1. - x + eps))
+    bce = -(y * jnp.log(x + eps) +
+            (1. - y) * jnp.log(jnp.maximum(1. - x, 0.) + eps))
     if reduction == 'mean':
         return bce.mean()
     if reduction == 'sum':

@@ -238,8 +238,12 @@ def make_train_step(setup: TrainSetup) -> Callable:
 
     def train_step(state, batch, rng):
         step = state['step']
-        est = embed_state(cfg, rc, step) if not cfg.finetune else \
-            embed_state(cfg, rc, 0)
+        # The reference updates tau/alpha at the END of each iteration
+        # with global_step = i-1 (run_nerf.py:618, trainer.py:264-265),
+        # so iteration i renders with tau(i-2); our 0-based step s = i-1
+        # therefore renders with tau(max(s-1, 0)).
+        est = embed_state(cfg, rc, jnp.maximum(step - 1, 0)) \
+            if not cfg.finetune else embed_state(cfg, rc, 0)
 
         # pose update gating (reference trainer.py:240-241 + warmup)
         if cfg.opt_pose:

@@ -178,6 +178,16 @@ def ref_args(tmpdir: str, **overrides) -> types.SimpleNamespace:
         no_reload=True, finetune=False, fix_layer=0, weight_decay=None,
         perturb=1.0, raw_noise_std=0., ray_noise_std=0., lindisp=False,
         nerf_type='nerf', debug=False,
+        # Trainer fields (core/trainer.py:230-483)
+        chunk=1024 * 32, loss_fn='MSE', loss_beta=0.1, use_yuv=False,
+        reg_fn=None, reg_coef=0.1, use_background=False, coarse_weight=1.0,
+        lrate_decay=250, lrate_decay_rate=0.1, decay_unit=1000,
+        opt_pose=False, opt_pose_step=1, opt_pose_lrate=5e-4,
+        opt_pose_tol=0., opt_pose_coef=2.0, opt_rot6d=False,
+        opt_pose_stop=None, opt_pose_cache=False, opt_pose_joint=False,
+        use_temp_loss=False, temp_coef=0.05,
+        cutoff_step=250, cutoff_rate=10.0,
+        freq_schedule_step=250, testopt=False,
     )
     d.update(overrides)
     return types.SimpleNamespace(**d)
@@ -203,6 +213,75 @@ def build_ref_raycaster(args, n_frames: int, rest_pose: np.ndarray,
     caster = rkv['ray_caster']
     caster.train()
     return caster, rkt
+
+
+def build_ref_trainer(args, rest_pose: np.ndarray, kps: np.ndarray,
+                      bones: np.ndarray, near: float = 0.1,
+                      far: float = 8.0):
+    """Build the reference's OWN Trainer (core/trainer.py:205-273) with
+    its factory-made raycaster + optimizer and a PoseOptLayer + pose
+    Adam, exactly as run_nerf.py:491-538 wires them.
+
+    Returns (trainer, caster, popt_layer) — caster is the unwrapped
+    RayCaster for weight injection.
+    """
+    import os
+    import torch
+    ref = load_reference()
+    import core.trainer as ref_trainer_mod
+    os.makedirs(os.path.join(args.basedir, args.expname), exist_ok=True)
+    n_frames = kps.shape[0]
+    data_attrs = {
+        'skel_type': ref.skeleton_utils.SMPLSkeleton,
+        'near': near, 'far': far,
+        'n_views': n_frames,
+        'joint_coords': ref.skeleton_utils.get_per_joint_coords(rest_pose),
+        'hwf': (8, 8, 10.0),
+    }
+    rkt, rkv, start, grad_vars, optimizer, ckpt = \
+        ref.raycasters.create_raycaster(args, data_attrs)
+    caster = rkv['ray_caster']
+    caster.train()
+
+    pose_optimizer, popt_kwargs = None, None
+    popt_layer = None
+    if args.opt_pose:
+        # create_popt's live path (pose_opt.py:14-83) minus ckpt loading
+        popt_layer = ref.pose_opt.PoseOptLayer(
+            torch.from_numpy(kps.copy()), torch.from_numpy(bones.copy()),
+            torch.from_numpy(rest_pose[None].copy()),
+            use_cache=args.opt_pose_cache, use_rot6d=args.opt_rot6d)
+        pose_optimizer = torch.optim.Adam(
+            params=list(popt_layer.parameters()), lr=args.opt_pose_lrate,
+            betas=(0.9, 0.999))
+        anchor_kps = torch.from_numpy(kps.copy())
+        anchor_bones = torch.from_numpy(bones.copy())
+        anchor_rots = ref.skeleton_utils.axisang_to_rot(
+            anchor_bones.view(-1, 3)).view(n_frames, -1, 3, 3)
+        popt_kwargs = {
+            'popt_anchors': {'kps': anchor_kps, 'bones': anchor_bones,
+                             'rots': anchor_rots, 'beta': None},
+            'popt_layer': popt_layer,
+            'skel_type': ref.skeleton_utils.SMPLSkeleton,
+        }
+        pose_optimizer.zero_grad()
+
+    # the reference was written against torch 1.x where zero_grad()
+    # left zero tensors; torch 2.x defaults to set_to_none=True which
+    # crashes its get_gradnorm (trainer.py:201, cnt == 0).  Pin the
+    # legacy semantics (numerically identical otherwise).
+    import functools
+    optimizer.zero_grad = functools.partial(
+        torch.optim.Optimizer.zero_grad, optimizer, set_to_none=False)
+    if pose_optimizer is not None:
+        pose_optimizer.zero_grad = functools.partial(
+            torch.optim.Optimizer.zero_grad, pose_optimizer,
+            set_to_none=False)
+
+    trainer = ref_trainer_mod.Trainer(
+        args, data_attrs, optimizer, pose_optimizer, rkt, rkv,
+        popt_kwargs, device=None)
+    return trainer, caster, popt_layer
 
 
 def copy_params_to_ref_nerf(net_params: Dict[str, Any], torch_nerf) -> None:

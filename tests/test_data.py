@@ -191,3 +191,44 @@ def test_prefetcher_per_host_slices_are_distinct(h5_path):
     for a, b in zip(*batches):
         np.testing.assert_array_equal(a['kp_idx'], b['kp_idx'])
         assert np.abs(a['rays_d'] - b['rays_d']).max() > 0
+
+
+def test_multihost_pixel_disjointness(h5_path):
+    """Hosts' per-image pixel draws are disjoint-by-construction slices
+    of one global sample (dataset.sample_pixels host_slice): same image
+    schedule, zero overlapping rays."""
+    n_hosts = 2
+    streams = []
+    for p in range(n_hosts):
+        ds = BaseH5Dataset(h5_path, N_samples=8)
+        pf = Prefetcher(ds, N_images=4, n_workers=2, N_iter=3, seed=0,
+                        process_index=p, process_count=n_hosts)
+        streams.append(list(pf))
+        pf.stop()
+    for b0, b1 in zip(*streams):
+        # same logical global batch: identical image/frame schedule
+        np.testing.assert_array_equal(b0['kp_idx'], b1['kp_idx'])
+        # disjoint pixels: rays_d rows identify pixels uniquely per
+        # image; compare per-image blocks
+        for s in range(0, len(b0['kp_idx']), 8):
+            r0 = {bytes(r) for r in b0['rays_d'][s:s + 8]}
+            r1 = {bytes(r) for r in b1['rays_d'][s:s + 8]}
+            assert not (r0 & r1), 'hosts sampled overlapping pixels'
+
+
+def test_host_slices_partition_global_draw(h5_path):
+    """The union of all hosts' slices equals the single global draw a
+    1-host run would take in block order."""
+    ds = BaseH5Dataset(h5_path, N_samples=8)
+    ds.init_dataset()
+    rng_a = np.random.default_rng([0, 5])
+    a = ds.sample_pixels(1, 1, rng_a, host_slice=(0, 2))
+    rng_b = np.random.default_rng([0, 5])
+    b = ds.sample_pixels(1, 1, rng_b, host_slice=(1, 2))
+    assert len(set(a.tolist()) & set(b.tolist())) == 0
+    rng_g = np.random.default_rng([0, 5])
+    sampling_mask = ds.dataset['sampling_masks'][1].reshape(-1)
+    valid, = np.where(sampling_mask > 0)
+    draw = rng_g.choice(valid, 16, replace=False)
+    assert set(a.tolist()) == set(draw[:8].tolist())
+    assert set(b.tolist()) == set(draw[8:].tolist())

@@ -37,12 +37,17 @@ T = torch.from_numpy
 class Setup:
     """Both sides of the parity harness, same weights, same scene."""
 
-    def __init__(self, tmpdir, raw_noise_std=0.0):
+    def __init__(self, tmpdir, raw_noise_std=0.0, n_rays=N_RAYS,
+                 ns=NS, ni=NI, netwidth=64, mlp_backend='xla',
+                 compute_dtype='float32'):
+        self.n_rays, self.ns, self.ni = n_rays, ns, ni
         self.cfg = Config(
             use_cutoff=True, cutoff_viewdir=True, cutoff_inputs=True,
             use_viewdirs=True, multires=7, multires_views=4,
-            N_samples=NS, N_importance=NI, N_rand=N_RAYS,
-            netwidth=64, netdepth=8, opt_framecode=True, ext_scale=0.001,
+            N_samples=ns, N_importance=ni, N_rand=n_rays,
+            netwidth=netwidth, netdepth=8, opt_framecode=True,
+            ext_scale=0.001, mlp_backend=mlp_backend,
+            compute_dtype=compute_dtype,
             perturb=1.0, raw_noise_std=raw_noise_std)
         self.rc = build_raycast_config(self.cfg, n_framecodes=N_FRAMES)
         self.params = init_raycaster_params(jax.random.PRNGKey(3), self.rc,
@@ -53,8 +58,9 @@ class Setup:
                 self.params[net]['alpha_linear']['b'] + 1.0
 
         self.rest_pose = SMPL_REST_POSE.astype(np.float32)
-        args = ref_oracle.ref_args(str(tmpdir), netwidth=64, netdepth=8,
-                                   N_samples=NS, N_importance=NI,
+        args = ref_oracle.ref_args(str(tmpdir), netwidth=netwidth,
+                                   netdepth=8,
+                                   N_samples=ns, N_importance=ni,
                                    perturb=1.0, raw_noise_std=raw_noise_std)
         self.caster, self.rkt = ref_oracle.build_ref_raycaster(
             args, N_FRAMES, self.rest_pose, near=NEAR, far=FAR)
@@ -75,24 +81,24 @@ class Setup:
         self.cyls = get_kp_bounding_cylinder(
             self.kps, ext_scale=0.001, head='-y').astype(np.float32)
 
-        self.kp_idx = rng.randint(0, N_FRAMES, size=(N_RAYS,))
+        self.kp_idx = rng.randint(0, N_FRAMES, size=(n_rays,))
         self.rays_o = np.tile(np.array([[0., 0., 3.]], np.float32),
-                              (N_RAYS, 1))
-        t = np.linspace(-0.12, 0.12, N_RAYS, dtype=np.float32)
+                              (n_rays, 1))
+        t = np.linspace(-0.12, 0.12, n_rays, dtype=np.float32)
         self.rays_d = np.stack([t, t * 0.5, -np.ones_like(t)], -1)
         self.cam_idxs = self.kp_idx.astype(np.int32)
-        self.target = rng.uniform(0, 1, (N_RAYS, 3)).astype(np.float32)
+        self.target = rng.uniform(0, 1, (n_rays, 3)).astype(np.float32)
 
-        self.u_c = ref_oracle.pytest_uniforms((N_RAYS, NS))
-        self.u_f = ref_oracle.pytest_uniforms((N_RAYS, NI))
+        self.u_c = ref_oracle.pytest_uniforms((n_rays, ns))
+        self.u_f = ref_oracle.pytest_uniforms((n_rays, ni))
         self.raw_noise_std = raw_noise_std
         self.fixed = {'coarse_u': jnp.asarray(self.u_c),
                       'fine_u': jnp.asarray(self.u_f)}
         if raw_noise_std > 0:
             self.fixed['coarse_noise'] = jnp.asarray(
-                ref_oracle.pytest_uniforms((N_RAYS, NS)) * raw_noise_std)
+                ref_oracle.pytest_uniforms((n_rays, ns)) * raw_noise_std)
             self.fixed['fine_noise'] = jnp.asarray(
-                ref_oracle.pytest_uniforms((N_RAYS, NS + NI)) *
+                ref_oracle.pytest_uniforms((n_rays, ns + ni)) *
                 raw_noise_std)
 
     # ---- reference side -------------------------------------------------
@@ -101,17 +107,17 @@ class Setup:
                                                 keepdims=True)
         ray_batch = np.concatenate(
             [self.rays_o, self.rays_d,
-             np.full((N_RAYS, 1), NEAR, np.float32),
-             np.full((N_RAYS, 1), FAR, np.float32), viewdirs],
+             np.full((self.n_rays, 1), NEAR, np.float32),
+             np.full((self.n_rays, 1), FAR, np.float32), viewdirs],
             -1).astype(np.float32)
         return self.caster.render_rays(
-            T(ray_batch), NS,
+            T(ray_batch), self.ns,
             T(self.kps[self.kp_idx]) if kps is None else kps,
             skts=T(self.skts[self.kp_idx]) if skts is None else skts,
             cyls=T(self.cyls[self.kp_idx]),
             bones=T(self.bones[self.kp_idx]) if bones is None else bones,
             cams=T(self.cam_idxs.astype(np.float32)),
-            lindisp=False, perturb=1.0, N_importance=NI,
+            lindisp=False, perturb=1.0, N_importance=self.ni,
             raw_noise_std=self.raw_noise_std, ray_noise_std=0.,
             pytest=True, preproc_kwargs=self.rkt['preproc_kwargs'])
 
@@ -345,3 +351,115 @@ def test_sample_pdf_oracle():
     ours = np.asarray(sample_pdf(jnp.asarray(bins), jnp.asarray(weights), 8,
                                  u=jnp.asarray(u)))
     np.testing.assert_allclose(ours, ref_s, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Flagship-recipe parity: 8x256 MLP, 64+16 samples, 128 rays
+# (configs/surreal/surreal.txt settings, reference raycasters.py:361-474)
+# -- f32/XLA, f32/Pallas (interpret), and bf16 with a measured bound.
+# ---------------------------------------------------------------------------
+
+FLAG_KEYS = ['rgb_map', 'disp_map', 'acc_map', 'alpha',
+             'rgb0', 'disp0', 'acc0', 'alpha0']
+
+
+@pytest.fixture(scope='module')
+def setup_flagship(tmp_path_factory):
+    return Setup(tmp_path_factory.mktemp('flagship'), n_rays=128,
+                 ns=64, ni=16, netwidth=256)
+
+
+@pytest.fixture(scope='module')
+def ref_flagship_out(setup_flagship):
+    return {k: v.detach().numpy()
+            for k, v in setup_flagship.ref_render().items()}
+
+
+def test_flagship_forward_pixel_parity(setup_flagship, ref_flagship_out):
+    """f32 forward at the SURREAL recipe scale, tight tolerance."""
+    ours = {k: np.asarray(v) for k, v in setup_flagship.our_render().items()}
+    assert float(np.abs(ref_flagship_out['acc_map']).max()) > 0.5
+    for k in FLAG_KEYS:
+        np.testing.assert_allclose(ours[k], ref_flagship_out[k], atol=3e-5,
+                                   err_msg=k)
+
+
+def test_flagship_gradient_parity(setup_flagship):
+    """MLP parameter gradients at flagship scale."""
+    setup_flagship.caster.zero_grad()
+    loss = _loss_ref(setup_flagship.ref_render(), setup_flagship.target)
+    loss.backward()
+    ref_gc = ref_oracle.ref_grads_to_pytree(setup_flagship.caster.network)
+    ref_gf = ref_oracle.ref_grads_to_pytree(
+        setup_flagship.caster.network_fine)
+
+    def loss_fn(params):
+        out = setup_flagship.our_render(params=params)
+        t = jnp.asarray(setup_flagship.target)
+        return jnp.mean((out['rgb_map'] - t) ** 2) + \
+            jnp.mean((out['rgb0'] - t) ** 2)
+
+    grads = jax.grad(loss_fn)(setup_flagship.params)
+    for ref_g, ours_g in [(ref_gc, grads['coarse']),
+                          (ref_gf, grads['fine'])]:
+        flat_r, _ = jax.tree_util.tree_flatten(ref_g)
+        flat_o, _ = jax.tree_util.tree_flatten(
+            {k: ours_g[k] for k in ref_g})
+        for r, o in zip(flat_r, flat_o):
+            r, o = np.asarray(r), np.asarray(o)
+            scale = max(np.abs(r).max(), 1e-8)
+            np.testing.assert_allclose(o, r, atol=1e-3 * scale + 1e-9)
+
+
+def test_flagship_pallas_interpret_parity(tmp_path, setup_flagship,
+                                          ref_flagship_out):
+    """The fused encode+MLP Pallas kernel (ops/pallas_encmlp.py) checked
+    against the REFERENCE, not just our XLA path: mlp_backend='pallas'
+    runs the kernel in interpret mode on CPU
+    (pallas_encmlp.py:658-659)."""
+    s = setup_flagship
+    cfg = Config(**{**s.cfg.__dict__, 'mlp_backend': 'pallas'})
+    rc = build_raycast_config(cfg, n_framecodes=N_FRAMES)
+    assert rc.mlp_backend == 'pallas'
+    from anerf_tpu.ops import pallas_encmlp as PE
+    assert PE.supported_config(rc)
+    pose = {'kps': jnp.asarray(s.kps[s.kp_idx]),
+            'skts': jnp.asarray(s.skts[s.kp_idx]),
+            'bones': jnp.asarray(s.bones[s.kp_idx]),
+            'cyls': jnp.asarray(s.cyls[s.kp_idx])}
+    ours = render_rays(rc, s.params, jnp.asarray(s.rays_o),
+                       jnp.asarray(s.rays_d), NEAR, FAR, pose,
+                       embed_state(cfg, rc, 0),
+                       cam_idxs=jnp.asarray(s.cam_idxs), fixed=s.fixed)
+    for k in FLAG_KEYS:
+        np.testing.assert_allclose(np.asarray(ours[k]),
+                                   ref_flagship_out[k], atol=2e-4,
+                                   err_msg=k)
+
+
+def test_flagship_bf16_error_bound(setup_flagship, ref_flagship_out):
+    """The bench recipe trains in bfloat16 (bench.py): measure and pin
+    the bf16 forward error against the f32 reference.  bf16 has 8
+    mantissa bits (~0.4% relative); through the 8-layer MLP and
+    compositing the observed rgb error is <~2e-2 absolute.  This test
+    documents that bound and fails if it ever regresses."""
+    s = setup_flagship
+    cfg = Config(**{**s.cfg.__dict__, 'compute_dtype': 'bfloat16'})
+    rc = build_raycast_config(cfg, n_framecodes=N_FRAMES)
+    assert rc.nerf.compute_dtype == jnp.bfloat16
+    pose = {'kps': jnp.asarray(s.kps[s.kp_idx]),
+            'skts': jnp.asarray(s.skts[s.kp_idx]),
+            'bones': jnp.asarray(s.bones[s.kp_idx]),
+            'cyls': jnp.asarray(s.cyls[s.kp_idx])}
+    ours = render_rays(rc, s.params, jnp.asarray(s.rays_o),
+                       jnp.asarray(s.rays_d), NEAR, FAR, pose,
+                       embed_state(cfg, rc, 0),
+                       cam_idxs=jnp.asarray(s.cam_idxs), fixed=s.fixed)
+    rgb_err = float(np.abs(np.asarray(ours['rgb_map'], np.float32)
+                           - ref_flagship_out['rgb_map']).max())
+    acc_err = float(np.abs(np.asarray(ours['acc_map'], np.float32)
+                           - ref_flagship_out['acc_map']).max())
+    assert rgb_err < 2e-2, f'bf16 rgb error bound regressed: {rgb_err}'
+    assert acc_err < 2e-2, f'bf16 acc error bound regressed: {acc_err}'
+    # and bf16 is actually in play (error above f32 round-off)
+    assert rgb_err > 1e-5
