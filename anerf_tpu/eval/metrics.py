@@ -150,52 +150,99 @@ def pose_metrics(pred_kps: np.ndarray, gt_kps: np.ndarray,
             'auc': auc}
 
 
+# SPIN H36M-regressor output -> canonical joint order
+# (reference evaluation_helpers.py:539 SPIN_TO_CANON — the values ARE
+# the protocol spec)
+SPIN_TO_CANON = [10, 8, 14, 15, 16, 11, 12, 13, 4, 5, 6, 1, 2, 3, 0, 7, 9]
+CANON_PELVIS = 14   # centering joint for MPJPE (evaluation_helpers.py:585)
+
+
+def vertices2joints(j_regressor: np.ndarray,
+                    vertices: np.ndarray) -> np.ndarray:
+    """Regress joints from mesh vertices: (J, V) x (N, V, 3) -> (N, J, 3)
+    (smplx.lbs.vertices2joints, used by the reference's SMPLEvalHelper,
+    evaluation_helpers.py:525-537)."""
+    return np.einsum('jv,nvc->njc', np.asarray(j_regressor, np.float64),
+                     np.asarray(vertices, np.float64))
+
+
+def h36m_joints_from_vertices(vertices: np.ndarray,
+                              j_regressor: np.ndarray) -> np.ndarray:
+    """H36M joints regressed from SMPL vertices, reordered to the
+    canonical evaluation order (evaluation_helpers.py:556-560)."""
+    return vertices2joints(j_regressor, vertices)[:, SPIN_TO_CANON]
+
+
 def pose_metrics_from_smpl_params(gt_kps: np.ndarray,
-                                  bones: np.ndarray,
+                                  bones: Optional[np.ndarray] = None,
                                   pelvis: Optional[np.ndarray] = None,
                                   betas: Optional[np.ndarray] = None,
                                   rest_pose: Optional[np.ndarray] = None,
+                                  vertices: Optional[np.ndarray] = None,
+                                  j_regressor: Optional[np.ndarray] = None,
+                                  smpl_model_path: Optional[str] = None,
                                   scale_to_mm: float = 1000.,
                                   pck_threshold: float = 150.,
                                   ) -> Dict[str, float]:
     """Pose accuracy of refined SMPL parameters vs GT joints.
 
-    The reference ``evaluate_pampjpe_from_smpl_params``
-    (evaluation_helpers.py:541-612) runs the smplx body model on
-    (betas, bones) and regresses H36M joints from the vertices; here the
-    predicted joints come from our own differentiable FK on the
-    betas-derived rest pose (data/spin.py rest_pose_from_betas, smplx
-    optional — pass a precomputed ``rest_pose`` to skip it), which
-    evaluates the same refined pose parameters without SMPL model files.
+    Matches reference ``evaluate_pampjpe_from_smpl_params``
+    (evaluation_helpers.py:541-612), which regresses H36M joints from
+    SMPL vertices with ``J_regressor_h36m``.  Three prediction sources,
+    by decreasing protocol fidelity:
 
-    MPJPE is root-centered like the reference's pelvis centering
-    (:585-588); PA-MPJPE/PCK/AUC are Procrustes-aligned per frame.
+      1. ``vertices`` + ``j_regressor``: regress joints from precomputed
+         SMPL vertices — the reference's exact joint definition
+         (``vertices2joints`` + SPIN_TO_CANON, :556-560), without
+         needing the body-model files at eval time.
+      2. ``smpl_model_path`` + ``j_regressor`` (+betas/bones): run the
+         smplx body model to get vertices first (requires the optional
+         smplx package and the SMPL .pkl the user supplies).
+      3. FK fallback (default): our differentiable FK on the
+         betas-derived rest pose — evaluates the same refined pose
+         parameters, but with the skeleton's joint definition; numbers
+         are NOT comparable to the paper's vertex-regressed protocol.
+
+    MPJPE is pelvis-centered like the reference (:585-588, canonical
+    joint 14 for regressed joints, root joint 0 for FK joints);
+    PA-MPJPE/PCK/AUC are per-frame Procrustes-aligned.
 
     Args:
-      gt_kps: (N, J, 3) ground-truth joints (same units as rest_pose).
-      bones: (N, J, 3) axis-angle pose parameters.
-      pelvis: (N, 3) root translations; zeros if None (MPJPE is
-        root-centered, so translation only matters through FK).
-      betas / rest_pose: one of the two must be given.
+      gt_kps: (N, J, 3) ground-truth joints (same units as predictions;
+        canonical 17-joint order for sources 1-2, skeleton order for 3).
+      bones: (N, J, 3) axis-angle pose parameters (sources 2-3).
+      pelvis: (N, 3) root translations; zeros if None.
+      betas / rest_pose: one required for source 3.
     """
     import jax.numpy as jnp
-    from ..ops.fk import fk
 
-    if rest_pose is None:
-        from ..data.spin import rest_pose_from_betas
-        assert betas is not None, 'need betas or rest_pose'
-        rest_pose = rest_pose_from_betas(np.atleast_2d(betas))
-    bones = np.asarray(bones, np.float32)
-    if pelvis is None:
-        pelvis = np.zeros((len(bones), 3), np.float32)
-    kps, _, _, _ = fk(jnp.asarray(bones), jnp.asarray(pelvis),
-                      jnp.asarray(np.asarray(rest_pose, np.float32)))
-    pred = np.asarray(kps)
+    center_joint = 0
+    if vertices is None and smpl_model_path is not None:
+        assert j_regressor is not None and bones is not None
+        vertices = _smpl_vertices(smpl_model_path, betas, bones)
+    if vertices is not None:
+        assert j_regressor is not None, \
+            'vertex-regressed eval needs J_regressor_h36m'
+        pred = h36m_joints_from_vertices(vertices, j_regressor)
+        pred = pred.astype(np.float32)
+        center_joint = CANON_PELVIS
+    else:
+        from ..ops.fk import fk
+        if rest_pose is None:
+            from ..data.spin import rest_pose_from_betas
+            assert betas is not None, 'need betas or rest_pose'
+            rest_pose = rest_pose_from_betas(np.atleast_2d(betas))
+        bones = np.asarray(bones, np.float32)
+        if pelvis is None:
+            pelvis = np.zeros((len(bones), 3), np.float32)
+        kps, _, _, _ = fk(jnp.asarray(bones), jnp.asarray(pelvis),
+                          jnp.asarray(np.asarray(rest_pose, np.float32)))
+        pred = np.asarray(kps)
     gt = np.asarray(gt_kps, np.float32)
 
-    # root-center both sides for the translation-free MPJPE
-    pred_c = pred - pred[:, :1]
-    gt_c = gt - gt[:, :1]
+    # pelvis-center both sides for the translation-free MPJPE
+    pred_c = pred - pred[:, center_joint:center_joint + 1]
+    gt_c = gt - gt[:, center_joint:center_joint + 1]
     mpjpes, pa_mpjpes, all_err = [], [], []
     for p, g, pc, gc in zip(pred, gt, pred_c, gt_c):
         mpjpes.append(np.linalg.norm(pc - gc, axis=-1).mean() * scale_to_mm)
@@ -210,3 +257,22 @@ def pose_metrics_from_smpl_params(gt_kps: np.ndarray,
             f'pck@{pck_threshold:.0f}': float(
                 (all_err < pck_threshold).mean()),
             'auc': float(np.mean([(all_err < t).mean() for t in ths]))}
+
+
+def _smpl_vertices(model_path: str, betas, bones) -> np.ndarray:
+    """Vertices from the smplx body model when available (reference
+    SMPLEvalHelper forward, evaluation_helpers.py:525-560)."""
+    import smplx  # optional dependency, supplied by the user
+    import torch
+    from ..ops.rotations import axisang_to_rot
+    import jax.numpy as jnp
+    rots = np.asarray(axisang_to_rot(jnp.asarray(bones, jnp.float32)))
+    model = smplx.SMPL(model_path)
+    betas_t = torch.as_tensor(np.atleast_2d(betas), dtype=torch.float32)
+    if betas_t.shape[0] == 1:
+        betas_t = betas_t.expand(len(bones), -1)
+    out = model(betas=betas_t,
+                body_pose=torch.as_tensor(rots[:, 1:]),
+                global_orient=torch.as_tensor(rots[:, :1]),
+                pose2rot=False)
+    return out.vertices.detach().cpu().numpy()

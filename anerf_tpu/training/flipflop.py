@@ -163,7 +163,7 @@ def maybe_snapshot(ff: FlipFlopConfig, step, pose_params,
     """Functional set_poseopt_ckpt: carry a device-side copy of the pose
     bank, refreshed at each pose-turn start."""
     if snapshot is None:
-        return jax.tree_util.tree_map(lambda x: x, pose_params)
+        return jax.tree_util.tree_map(lambda x: x.copy(), pose_params)
     gate = snapshot_gate(ff, step)
     return jax.tree_util.tree_map(
         lambda cur, snap: jnp.where(gate, cur, snap), pose_params, snapshot)
@@ -171,8 +171,10 @@ def maybe_snapshot(ff: FlipFlopConfig, step, pose_params,
 
 def reset_poseopt(pose_params, snapshot) -> Dict[str, Any]:
     """Restore the pose bank from the snapshot (reference reset_poseopt,
-    pose_opt.py:603-605)."""
-    return jax.tree_util.tree_map(lambda _, s: s, pose_params, snapshot)
+    pose_opt.py:603-605).  Copies, so the restored bank and the live
+    snapshot never alias (donation safety)."""
+    return jax.tree_util.tree_map(lambda _, s: s.copy(), pose_params,
+                                  snapshot)
 
 
 def anneal_pose_reg(opt_pose_coef: float, step, reg_step: Optional[int],

@@ -94,12 +94,18 @@ def make_anchors(kp3d: np.ndarray, bones: np.ndarray) -> Dict[str, jnp.ndarray]:
 def kp_reg_loss(bones: jnp.ndarray, rots: jnp.ndarray,
                 anchors: Dict[str, jnp.ndarray], kp_idx: jnp.ndarray,
                 tol: float, coef: float,
-                use_rot6d: bool = False) -> jnp.ndarray:
+                use_rot6d: bool = False,
+                per_ray: bool = False) -> jnp.ndarray:
     """Tolerance-hinged bone deviation from anchors, root excluded.
 
     Matches reference ``Trainer._compute_kp_loss`` (trainer.py:388-403):
     sq-diff per channel, zeroed below ``tol``, summed over channels,
     meaned over (rays, joints), scaled by ``opt_pose_coef``.
+
+    ``per_ray=True`` returns the (N_rays,) joint-meaned values (whose
+    mean is the scalar loss) — the per-frame signal the FlipFlop CMA
+    trackers accumulate (reference accumulate_loss,
+    pose_opt.py:638-662).
     """
     if use_rot6d:
         reg_bones = rot_to_rot6d(anchors['rots'][kp_idx])
@@ -110,6 +116,8 @@ def kp_reg_loss(bones: jnp.ndarray, rots: jnp.ndarray,
     sq = (reg_bones - pred) ** 2
     sq = sq[:, 1:]  # exclude root joint
     hinged = jnp.where(sq > tol, sq - tol, 0.)
+    if per_ray:
+        return hinged.sum(-1).mean(-1) * coef
     return hinged.sum(-1).mean() * coef
 
 

@@ -114,6 +114,17 @@ def init_train_state(setup: TrainSetup, key: jax.Array,
         state['pose_params'] = pose_params
         state['pose_opt_state'] = pose_tx.init(pose_params)
         state['pose_accum'] = tree_zeros_like(pose_params)
+        if cfg.opt_pose_flipflop:
+            from . import flipflop as FF
+            n_frames = init_kp3d.shape[0]
+            state['kp_tracker'] = FF.init_tracker_state(n_frames)
+            if cfg.opt_pose_reset:
+                # pose-bank snapshot refreshed at each pose-turn start
+                # (reference set_poseopt_ckpt, pose_opt.py:700-703).
+                # Real copies, not aliases: donated train-step buffers
+                # must not be shared between state leaves.
+                state['pose_snapshot'] = jax.tree_util.tree_map(
+                    lambda x: x.copy(), pose_params)
     return state
 
 
@@ -190,6 +201,13 @@ def compute_losses(setup: TrainSetup, out, batch, pose, extras,
         kp_loss = kp_loss * use_pose_loss
         stats['kp_loss'] = kp_loss
         total = total + kp_loss
+        if cfg.opt_pose_flipflop:
+            # per-frame signal for the FlipFlop CMA trackers
+            stats['kp_loss_per_ray'] = jax.lax.stop_gradient(
+                P.kp_reg_loss(pose['bones'], extras['rots'],
+                              setup.anchors, kp_idx, cfg.opt_pose_tol,
+                              cfg.opt_pose_coef, cfg.opt_rot6d,
+                              per_ray=True))
 
         if cfg.use_temp_loss:
             n_frames = pose_params['pelvis'].shape[0]
@@ -301,42 +319,73 @@ def make_train_step(setup: TrainSetup) -> Callable:
                     for i, l in enumerate(sub['pts_linears'])]
                 g_nerf[net] = sub
 
-        # --- NeRF update (every step) ---
+        # --- update gates ---
+        # our step s is reference iteration i = s+1 (run_nerf.py:530-538
+        # loops from 1): the first pose step fires only after
+        # opt_pose_step gradients have accumulated (trainer.py:475-477).
+        nerf_fire = jnp.asarray(True)
+        accum_gate = use_pose_f
+        if cfg.opt_pose and cfg.opt_pose_flipflop and not cfg.opt_pose_joint:
+            # alternating NeRF-turn / pose-turn scheduler (reference
+            # PoseOptFlipFlop, pose_opt.py:584-727): the turn flips
+            # every opt_pose_interval steps; NeRF updates through its
+            # turn plus one boundary step, pose gradients accumulate
+            # through pose turns and fire every opt_pose_step (incl.
+            # the flush on the first NeRF-turn step back).  Unlike the
+            # reference's driverless legacy class we recompute fresh
+            # gradients every step (its missing zero_grad would re-apply
+            # stale NeRF gradients at the turn boundary).
+            from . import flipflop as FF
+            ff = FF.FlipFlopConfig(
+                opt_pose_interval=cfg.opt_pose_interval,
+                opt_pose_step=cfg.opt_pose_step, opt_pose_joint=False,
+                opt_pose_warmup=cfg.opt_pose_warmup,
+                opt_pose_stop=cfg.opt_pose_stop,
+                opt_pose_reset=cfg.opt_pose_reset, testopt=cfg.testopt)
+            nerf_g, pose_g = FF.update_gates(ff, step + 1)
+            nerf_fire = nerf_g > 0
+            fire = jnp.logical_and(pose_g > 0, use_pose)
+            accum_gate = FF.peek_pose_turn(ff, step + 1).astype(
+                jnp.float32) * use_pose_f
+        elif cfg.opt_pose and (cfg.opt_pose_joint or cfg.testopt):
+            # joint mode (reference pose_opt.py:682-693, reachable via
+            # --opt_pose_joint / --testopt): NeRF every iter, pose every
+            # opt_pose_step inside the warmup/stop window
+            from . import flipflop as FF
+            ff = FF.FlipFlopConfig(
+                opt_pose_step=cfg.opt_pose_step, opt_pose_joint=True,
+                opt_pose_warmup=cfg.opt_pose_warmup,
+                opt_pose_stop=cfg.opt_pose_stop, testopt=cfg.testopt)
+            _, pose_g = FF.update_gates(ff, step + 1)
+            fire = jnp.logical_and(pose_g > 0, use_pose)
+        elif cfg.opt_pose:
+            fire = jnp.logical_and(((step + 1) % cfg.opt_pose_step) == 0,
+                                   use_pose)
+
+        # --- NeRF update (every step; gated on flipflop NeRF turns) ---
         updates, opt_state = nerf_tx.update(g_nerf, state['opt_state'],
                                             state['params'])
         params = optax.apply_updates(state['params'], updates)
         new_state = dict(state)
-        new_state.update(params=params, opt_state=opt_state,
-                         step=step + 1)
+        new_state.update(
+            params=tree_where(nerf_fire, params, state['params']),
+            opt_state=tree_where(nerf_fire, opt_state,
+                                 state['opt_state']),
+            step=step + 1)
 
         stats['total_norm'] = global_norm(g_nerf)
         stats['lrate'] = nerf_sched(step)
         stats['tau'] = est['tau']
+        if cfg.opt_pose_flipflop:
+            stats['nerf_gate'] = nerf_fire.astype(jnp.float32)
+            stats['pose_gate'] = fire.astype(jnp.float32)
 
         # --- pose update (accumulate; fire every opt_pose_step) ---
         if cfg.opt_pose:
             g_pose = jax.tree_util.tree_map(
-                lambda g: g * use_pose_f, g_pose)
+                lambda g: g * accum_gate, g_pose)
             accum = jax.tree_util.tree_map(
                 lambda a, g: a + g, state['pose_accum'], g_pose)
-            # our step s is reference iteration i = s+1 (run_nerf.py:530-538
-            # loops from 1): the first pose step fires only after
-            # opt_pose_step gradients have accumulated (trainer.py:475-477).
-            if cfg.opt_pose_joint or cfg.testopt:
-                # legacy FlipFlop scheduler path (reference
-                # pose_opt.py:584-727), reachable via --opt_pose_joint /
-                # --testopt: joint turns with the pose side firing every
-                # opt_pose_step inside the warmup/stop window
-                from . import flipflop as FF
-                ff = FF.FlipFlopConfig(
-                    opt_pose_step=cfg.opt_pose_step, opt_pose_joint=True,
-                    opt_pose_warmup=cfg.opt_pose_warmup,
-                    opt_pose_stop=cfg.opt_pose_stop, testopt=cfg.testopt)
-                _, pose_g = FF.update_gates(ff, step + 1)
-                fire = jnp.logical_and(pose_g > 0, use_pose)
-            else:
-                fire = jnp.logical_and(((step + 1) % cfg.opt_pose_step) == 0,
-                                       use_pose)
             p_updates, p_opt_state = pose_tx.update(
                 accum, state['pose_opt_state'], state['pose_params'])
             p_new = optax.apply_updates(state['pose_params'], p_updates)
@@ -346,6 +395,22 @@ def make_train_step(setup: TrainSetup) -> Callable:
                 fire, p_opt_state, state['pose_opt_state'])
             new_state['pose_accum'] = tree_where(
                 fire, tree_zeros_like(accum), accum)
+
+            if cfg.opt_pose_flipflop:
+                from . import flipflop as FF
+                kp_per_ray = stats.pop('kp_loss_per_ray', None)
+                if kp_per_ray is not None:
+                    new_state['kp_tracker'] = FF.accumulate_loss(
+                        state['kp_tracker'], kp_per_ray, batch['kp_idx'])
+                    stats['kp_tracker_mean'] = FF.get_trackers(
+                        new_state['kp_tracker']).mean()
+                if cfg.opt_pose_reset:
+                    # refresh the reset snapshot at pose-turn starts
+                    # from the PRE-update bank (set_poseopt_ckpt runs
+                    # before the iteration's step, pose_opt.py:700-703)
+                    new_state['pose_snapshot'] = FF.maybe_snapshot(
+                        ff, step + 1, state['pose_params'],
+                        state['pose_snapshot'])
 
         return new_state, stats
 

@@ -98,6 +98,15 @@ class Config:
     opt_pose_decay_unit: int = 400
     opt_pose_cache: bool = False
     opt_pose_joint: bool = False
+    # Alternating NeRF-turn / pose-turn optimization (the reference's
+    # PoseOptFlipFlop, pose_opt.py:584-727 — a legacy subsystem whose
+    # flags were dropped from run_nerf.py's final parser; kept CLI-
+    # reachable here).  The turn flips every opt_pose_interval steps;
+    # per-frame CMA loss trackers run alongside, and opt_pose_reset
+    # snapshots the pose bank at each pose-turn start.
+    opt_pose_flipflop: bool = False
+    opt_pose_interval: int = 100
+    opt_pose_reset: bool = False
     testopt: bool = False
     use_ckpt_anchor: bool = False
 

@@ -124,8 +124,13 @@ def install_stubs() -> None:
         sys.modules['pytorch3d'] = p3
         sys.modules['pytorch3d.transforms'] = tr
         sys.modules['pytorch3d.transforms.rotation_conversions'] = rc
-    for name in ('plotly', 'plotly.graph_objects', 'smplx', 'smplx.lbs'):
+    for name in ('plotly', 'plotly.graph_objects', 'smplx', 'smplx.lbs',
+                 'pytorch_msssim'):
         sys.modules.setdefault(name, types.ModuleType(name))
+    # evaluation_helpers imports SSIM at module scope but only the pose
+    # metrics (which never touch it) are under test
+    if not hasattr(sys.modules['pytorch_msssim'], 'SSIM'):
+        sys.modules['pytorch_msssim'].SSIM = type('SSIM', (), {})
     sys.modules['plotly'].graph_objects = sys.modules['plotly.graph_objects']
     # names the reference imports `from smplx ...` but only calls when a
     # real body model is requested (never on the paths under test)
