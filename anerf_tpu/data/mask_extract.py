@@ -114,6 +114,158 @@ def masks_from_background(imgs: np.ndarray, bkgd: np.ndarray,
     return out[..., None]
 
 
+# ---------------------------------------------------------------------------
+# Model backends (reference DeepLabModel, process_mask.py:86-130): any
+# callable (N, H, W, 3) uint8 -> (N, H, W) int labels plugs in.
+# ---------------------------------------------------------------------------
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def torchscript_seg_fn(model_path: str, batch_size: int = 4) -> Callable:
+    """Segmentation backend from a TorchScript file (e.g. a torchvision
+    ``deeplabv3_resnet50`` exported with ``torch.jit.script``), the
+    offline-friendly stand-in for the reference's frozen TF DeepLab
+    graph (process_mask.py:86-130).
+
+    The model receives ImageNet-normalized NCHW floats and may return a
+    logits tensor (N, C, H, W) or a dict with key ``'out'`` (the
+    torchvision convention).
+    """
+    import torch
+    model = torch.jit.load(model_path, map_location='cpu').eval()
+
+    def seg_fn(imgs: np.ndarray) -> np.ndarray:
+        outs = []
+        with torch.no_grad():
+            for s in range(0, len(imgs), batch_size):
+                x = imgs[s:s + batch_size].astype(np.float32) / 255.
+                x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
+                t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+                out = model(t)
+                if isinstance(out, dict):
+                    out = out['out']
+                outs.append(out.argmax(1).cpu().numpy())
+        return np.concatenate(outs, 0)
+    return seg_fn
+
+
+def transformers_seg_fn(model=None, model_dir: Optional[str] = None,
+                        batch_size: int = 4) -> Callable:
+    """Segmentation backend from a HuggingFace semantic-segmentation
+    model (e.g. SegFormer), loaded offline from a local directory.
+
+    Pass the person class id of the model's label space to
+    ``segment_person`` / ``extract_masks`` (e.g. ADE20K person = 12;
+    PASCAL person = 15).
+    """
+    import torch
+    if model is None:
+        from transformers import AutoModelForSemanticSegmentation
+        assert model_dir is not None, 'need a model or a local model dir'
+        model = AutoModelForSemanticSegmentation.from_pretrained(
+            model_dir, local_files_only=True)
+    model = model.eval()
+
+    def seg_fn(imgs: np.ndarray) -> np.ndarray:
+        H, W = imgs.shape[1:3]
+        outs = []
+        with torch.no_grad():
+            for s in range(0, len(imgs), batch_size):
+                x = imgs[s:s + batch_size].astype(np.float32) / 255.
+                x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
+                t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+                logits = model(pixel_values=t).logits
+                logits = torch.nn.functional.interpolate(
+                    logits, size=(H, W), mode='bilinear',
+                    align_corners=False)
+                outs.append(logits.argmax(1).cpu().numpy())
+        return np.concatenate(outs, 0)
+    return seg_fn
+
+
+def _resize(img: np.ndarray, w: int, h: int, nearest: bool = False
+            ) -> np.ndarray:
+    import cv2
+    interp = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
+    return cv2.resize(img, (w, h), interpolation=interp)
+
+
+def extract_masks(imgs: np.ndarray, seg_fn: Callable,
+                  person_label: int = PERSON_LABEL,
+                  input_size: Optional[int] = 513,
+                  dilate: int = 1) -> np.ndarray:
+    """Full-frame person masks via a segmentation backend.
+
+    The reference pipeline (process_masks, process_mask.py:131-172):
+    resize so the longer side is ``input_size`` (the DeepLab graph's
+    fixed input), segment, resize the label map back (nearest here —
+    the reference bilinearly blends label IDS, a visible artifact we do
+    not reproduce), keep the person class, dilate 3x3 ``dilate`` times.
+
+    Args:
+      imgs: (N, H, W, 3) uint8 frames.
+    Returns:
+      (N, H, W, 1) uint8 binary masks.
+    """
+    import cv2
+    H, W = imgs.shape[1:3]
+    if input_size is not None and max(H, W) != input_size:
+        r = input_size / max(H, W)
+        tw, th = int(r * W), int(r * H)
+        small = np.stack([_resize(im, tw, th) for im in imgs])
+    else:
+        small = imgs
+    labels = np.asarray(seg_fn(small)).astype(np.uint8)
+    masks = []
+    kernel = np.ones((3, 3), np.uint8)
+    for lab in labels:
+        if lab.shape != (H, W):
+            lab = _resize(lab, W, H, nearest=True)
+        m = (lab == person_label).astype(np.uint8)
+        if dilate > 0:
+            m = cv2.dilate(m, kernel=kernel, iterations=dilate)
+        masks.append(m)
+    return np.stack(masks)[..., None]
+
+
+def extract_bbox_masks(imgs: np.ndarray, bboxes: np.ndarray,
+                       seg_fn: Callable,
+                       person_label: int = PERSON_LABEL,
+                       input_size: Optional[int] = 513,
+                       mul: float = 1.1, dilate: int = 1) -> np.ndarray:
+    """Bbox-cropped person masks (reference process_bbox_masks,
+    process_mask.py:174-225): segment only a square crop around the
+    detected person (SPIN bbox (cx, cy, box_len)), paste back, dilate.
+
+    Args:
+      imgs: (N, H, W, 3) uint8 frames.
+      bboxes: (N, 3) [cx, cy, box_len] SPIN crop parameters.
+    Returns:
+      (N, H, W, 1) uint8 binary masks.
+    """
+    import cv2
+    H, W = imgs.shape[1:3]
+    kernel = np.ones((3, 3), np.uint8)
+    masks = []
+    for img, (cx, cy, box_len) in zip(imgs, np.asarray(bboxes)):
+        cx, cy = int(cx), int(cy)
+        half = int(box_len * 0.5 * mul)
+        left, top = max(cx - half, 0), max(cy - half, 0)
+        right, bot = min(cx + half, W), min(cy + half, H)
+        crop = img[top:bot, left:right]
+        m_crop = extract_masks(crop[None], seg_fn,
+                               person_label=person_label,
+                               input_size=input_size, dilate=0)[0, ..., 0]
+        m = np.zeros((H, W), np.uint8)
+        m[top:bot, left:right] = m_crop
+        if dilate > 0:
+            m = cv2.dilate(m, kernel=kernel, iterations=dilate)
+        masks.append(m)
+    return np.stack(masks)[..., None]
+
+
 def save_mask_video(path: str, masks: np.ndarray, imgs: Optional[np.ndarray]
                     = None, fps: int = 14) -> None:
     """Export masks (optionally composited over the frames) as a video
