@@ -58,10 +58,14 @@ class RayCastConfig:
     remat: bool = True   # recompute encode+MLP in backward (HBM saver)
     # 'pallas': VMEM-resident kernels — the fully fused encode+MLP
     # (ops/pallas_encmlp.py) when the encoding family allows, else the
-    # split-operand MLP kernel (ops/pallas_mlp.py).  Training-path
-    # winner (fwd+bwd, weight grads accumulate on-chip); 'xla' wins for
-    # fwd-only eval, so eval_variant() switches back.
+    # split-operand MLP kernel (ops/pallas_mlp.py).  Wins both paths on
+    # v5e (train fwd+bwd with on-chip weight-grad accumulation, AND
+    # fwd-only eval: 302k vs 239k rays/s for XLA at the flagship
+    # recipe — scripts/bench_eval_variants.py).
     mlp_backend: str = 'xla'
+    # fused-kernel point-tile override; None = ops.pallas_encmlp
+    # defaults (512, the measured train-path optimum on v5e)
+    pallas_tile: Optional[int] = None
 
     def density_fn(self):
         return compositing.get_density_fn(self.density_type,
@@ -69,9 +73,12 @@ class RayCastConfig:
 
     def eval_variant(self) -> 'RayCastConfig':
         """Test-time settings (reference raycasters.py:170-178):
-        no perturbation, no noise; XLA MLP (faster fwd-only)."""
+        no perturbation, no noise; the MLP backend is inherited (the
+        fused Pallas forward beats XLA fwd-only as well:
+        302k vs 239k rays/s, scripts/bench_eval_variants.py) with a
+        bigger fwd-only tile (no bwd VMEM pressure)."""
         return dataclasses.replace(self, perturb=0., raw_noise_std=0.,
-                                   ray_noise_std=0., mlp_backend='xla')
+                                   ray_noise_std=0., pallas_tile=1024)
 
 
 def encode_inputs(rc: RayCastConfig,
@@ -289,21 +296,25 @@ def render_rays(rc: RayCastConfig,
                 tau_in = jnp.asarray(1e6)
 
             def fused_net(net_params, q_pts):  # noqa: E306
-                pts_t = encoders.transform_batch_pts(q_pts, skts)
-                pts_t = pts_t.astype(jnp.float32)
+                # component-major transform: the kernel's (n, 3J)
+                # flatten is then a free bitcast (no transpose copy)
+                pts_cm = encoders.transform_batch_pts_cm(q_pts, skts)
+                pts_cm = pts_cm.astype(jnp.float32)
                 return PE.nerf_encmlp_pallas(
-                    net_params, rc, pts_t, rays_t_norm, cutoff_sg, tau_in,
-                    cam_idxs if rc.nerf.use_framecode else None)
+                    net_params, rc, pts_cm, rays_t_norm, cutoff_sg, tau_in,
+                    cam_idxs if rc.nerf.use_framecode else None,
+                    tile=rc.pallas_tile, cm=True)
 
             def fused_dual(q_pts):  # noqa: E306
                 # coarse + fine nets on the same points, one kernel:
                 # the encode (fwd) and its pullback (bwd) are shared
-                pts_t = encoders.transform_batch_pts(q_pts, skts)
-                pts_t = pts_t.astype(jnp.float32)
+                pts_cm = encoders.transform_batch_pts_cm(q_pts, skts)
+                pts_cm = pts_cm.astype(jnp.float32)
                 return PE.nerf_encmlp_dual_pallas(
-                    params['coarse'], params['fine'], rc, pts_t,
+                    params['coarse'], params['fine'], rc, pts_cm,
                     rays_t_norm, cutoff_sg, tau_in,
-                    cam_idxs if rc.nerf.use_framecode else None)
+                    cam_idxs if rc.nerf.use_framecode else None,
+                    tile=rc.pallas_tile, cm=True)
 
     enc_cache: Dict[str, Any] = {}
 

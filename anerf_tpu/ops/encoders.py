@@ -31,6 +31,23 @@ def transform_batch_pts(pts: jnp.ndarray, skts: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def transform_batch_pts_cm(pts: jnp.ndarray, skts: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """:func:`transform_batch_pts` with COMPONENT-major output axes
+    (N_rays, N_samples, 3, J) — the fused kernel's feature layout
+    ([all x | all y | all z], ops/pallas_encmlp.py).  Producing this
+    layout directly makes the kernel's (n, 3J) flatten a free bitcast;
+    the joint-major variant forces XLA to materialize transpose copies
+    of the (R, S, J, 3) tensor (~0.5 ms/step at the flagship recipe).
+    Same math, axes swapped.
+    """
+    rot = skts[..., :3, :3]
+    trans = skts[..., :3, 3]
+    out = jnp.einsum('rjab,rsb->rsaj', rot, pts) \
+        + trans.transpose(0, 2, 1)[:, None]
+    return out
+
+
 def transform_batch_rays(rays_d: jnp.ndarray, skts: jnp.ndarray) -> jnp.ndarray:
     """Ray directions -> per-joint local frame (rotation only).
 

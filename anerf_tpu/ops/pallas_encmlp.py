@@ -625,8 +625,12 @@ DEFAULT_BWD_TILE = 512
 
 
 def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
-                interpret, tile):
+                interpret, tile, cm=False):
     """Shared prep for the fused entries: statics + kernel inputs.
+
+    ``cm=True``: ``pts_t`` is already component-major (R, S, 3, J)
+    (encoders.transform_batch_pts_cm), so the (n, 3J) flatten below is
+    a free bitcast instead of a materialized transpose.
 
     Returns None if the (R, S) shape does not tile, else
     (st, est, p, enc_ray, cutoff2d, tau2d).
@@ -634,7 +638,10 @@ def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
     if tile is None:
         tile = DEFAULT_TILE
     bwd_tile = DEFAULT_BWD_TILE
-    R, S, J, _ = pts_t.shape
+    if cm:
+        R, S, _, J = pts_t.shape
+    else:
+        R, S, J, _ = pts_t.shape
     n = R * S
     while tile > 128 and (n < tile or tile % S != 0 or
                           R % (tile // S) != 0):
@@ -665,7 +672,9 @@ def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
                     bone_windowed=rc.bone_embed.cutoff)
 
     # component-major flatten of pts_t: (R, S, J, 3) -> (n, 3J)
-    p = pts_t.transpose(0, 1, 3, 2).reshape(n, 3 * J).astype(jnp.float32)
+    if not cm:
+        pts_t = pts_t.transpose(0, 1, 3, 2)
+    p = pts_t.reshape(n, 3 * J).astype(jnp.float32)
     enc_ray = view_pe_rows(rays_t_norm,
                            [float(f) for f in rc.view_embed.freq_bands()],
                            J)
@@ -682,22 +691,25 @@ def nerf_encmlp_pallas(net_params: Dict[str, Any], rc,
                        tau,
                        cam_idxs: Optional[jnp.ndarray] = None,
                        interpret: Optional[bool] = None,
-                       tile: Optional[int] = None) -> Optional[jnp.ndarray]:
+                       tile: Optional[int] = None,
+                       cm: bool = False) -> Optional[jnp.ndarray]:
     """Fused encode+MLP for one network pass.
 
     Args:
-      pts_t: (R, S, J, 3) skeleton-relative points (f32).
+      pts_t: (R, S, J, 3) skeleton-relative points (f32), or
+        component-major (R, S, 3, J) when ``cm=True``.
       rays_t_norm: (R, 3J) normalized per-joint local ray dirs.
       cutoff_dist: (J,) window radii; tau: window sharpness scalar.
       cam_idxs: (R,) framecode indices or None.
     Returns (R, S, 4) raw, or None if the shape doesn't tile.
     """
-    R, S, J, _ = pts_t.shape
+    R, S = pts_t.shape[:2]
     built = _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau,
-                        cam_idxs, interpret, tile)
+                        cam_idxs, interpret, tile, cm=cm)
     if built is None:
         return None
     st, est, p, enc_ray, cutoff2d, tau2d = built
+    J = est.J
     codes = None
     if est.has_codes:
         from ..models.nerf_mlp import framecode_lookup
@@ -718,7 +730,8 @@ def nerf_encmlp_dual_pallas(coarse_params: Dict[str, Any],
                             tau,
                             cam_idxs: Optional[jnp.ndarray] = None,
                             interpret: Optional[bool] = None,
-                            tile: Optional[int] = None
+                            tile: Optional[int] = None,
+                            cm: bool = False
                             ) -> Optional[Tuple[jnp.ndarray, jnp.ndarray]]:
     """Fused encode + BOTH MLPs on the same points (one kernel call).
 
@@ -730,12 +743,13 @@ def nerf_encmlp_dual_pallas(coarse_params: Dict[str, Any],
     Returns (raw_coarse, raw_fine), each (R, S, 4), or None if the
     shape doesn't tile.
     """
-    R, S, J, _ = pts_t.shape
+    R, S = pts_t.shape[:2]
     built = _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau,
-                        cam_idxs, interpret, tile)
+                        cam_idxs, interpret, tile, cm=cm)
     if built is None:
         return None
     st, est, p, enc_ray, cutoff2d, tau2d = built
+    J = est.J
     if est.has_codes:
         from ..models.nerf_mlp import framecode_lookup
         codes_c = framecode_lookup(coarse_params['framecodes'],

@@ -105,3 +105,29 @@ def test_factories_dims():
     assert bdims == 72
     _, bdims = encoders.get_bone_input_fn('Nope', 24)
     assert bdims == 0
+
+
+def test_transform_batch_pts_cm_matches_joint_major():
+    """Component-major transform == transpose of the joint-major one
+    (values AND gradients; it feeds the fused kernel's bitcast path)."""
+    import jax
+    from anerf_tpu.ops.encoders import (transform_batch_pts,
+                                        transform_batch_pts_cm)
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.normal(size=(5, 7, 3)).astype(np.float32))
+    from anerf_tpu.ops.fk import fk
+    from anerf_tpu.skeleton import SMPL_REST_POSE
+    bones = jnp.asarray(rng.normal(scale=0.2, size=(5, 24, 3))
+                        .astype(np.float32))
+    pelvis = jnp.asarray(rng.normal(scale=0.02, size=(5, 3))
+                         .astype(np.float32))
+    _, skts, _, _ = fk(bones, pelvis,
+                       jnp.asarray(SMPL_REST_POSE.astype(np.float32)))
+    a = transform_batch_pts(pts, skts)
+    b = transform_batch_pts_cm(pts, skts)
+    np.testing.assert_allclose(np.asarray(b),
+                               np.asarray(a.transpose(0, 1, 3, 2)),
+                               atol=1e-6)
+    g_a = jax.grad(lambda p: transform_batch_pts(p, skts).sum())(pts)
+    g_b = jax.grad(lambda p: transform_batch_pts_cm(p, skts).sum())(pts)
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_a), atol=1e-6)
