@@ -33,19 +33,23 @@ def transform_batch_pts(pts: jnp.ndarray, skts: jnp.ndarray) -> jnp.ndarray:
 
 def transform_batch_pts_cm(pts: jnp.ndarray, skts: jnp.ndarray
                            ) -> jnp.ndarray:
-    """:func:`transform_batch_pts` with COMPONENT-major output axes
-    (N_rays, N_samples, 3, J) — the fused kernel's feature layout
-    ([all x | all y | all z], ops/pallas_encmlp.py).  Producing this
-    layout directly makes the kernel's (n, 3J) flatten a free bitcast;
-    the joint-major variant forces XLA to materialize transpose copies
-    of the (R, S, J, 3) tensor (~0.5 ms/step at the flagship recipe).
-    Same math, axes swapped.
+    """:func:`transform_batch_pts` emitted directly as the fused
+    kernel's flattened COMPONENT-major features (N_rays, N_samples, 3J)
+    with channel c*J+j = component c of joint j's local coords
+    (ops/pallas_encmlp.py lane layout).
+
+    Expressed as ONE batched matmul per ray — (S, 3) @ (3, 3J) — whose
+    row-major output reshapes to the kernel's (n, 3J) operand for free;
+    the joint-major transform + transpose path costs ~0.5 ms/step of
+    XLA layout copies on the 37 MB pts_t tensor at the flagship recipe.
+    Same math as the reference transform (encoders.py:8-23).
     """
+    R, J = skts.shape[0], skts.shape[1]
     rot = skts[..., :3, :3]
-    trans = skts[..., :3, 3]
-    out = jnp.einsum('rjab,rsb->rsaj', rot, pts) \
-        + trans.transpose(0, 2, 1)[:, None]
-    return out
+    # rows ordered (c, j) component-major: (R, 3J, 3)
+    rcat = rot.transpose(0, 2, 1, 3).reshape(R, 3 * J, 3)
+    tcat = skts[..., :3, 3].transpose(0, 2, 1).reshape(R, 1, 3 * J)
+    return jnp.einsum('rsd,rkd->rsk', pts, rcat) + tcat
 
 
 def transform_batch_rays(rays_d: jnp.ndarray, skts: jnp.ndarray) -> jnp.ndarray:

@@ -628,9 +628,9 @@ def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
                 interpret, tile, cm=False):
     """Shared prep for the fused entries: statics + kernel inputs.
 
-    ``cm=True``: ``pts_t`` is already component-major (R, S, 3, J)
-    (encoders.transform_batch_pts_cm), so the (n, 3J) flatten below is
-    a free bitcast instead of a materialized transpose.
+    ``cm=True``: ``pts_t`` is already flattened component-major
+    (R, S, 3J) (encoders.transform_batch_pts_cm), so the (n, 3J)
+    reshape below is free instead of a materialized transpose.
 
     Returns None if the (R, S) shape does not tile, else
     (st, est, p, enc_ray, cutoff2d, tau2d).
@@ -639,7 +639,8 @@ def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
         tile = DEFAULT_TILE
     bwd_tile = DEFAULT_BWD_TILE
     if cm:
-        R, S, _, J = pts_t.shape
+        R, S, K = pts_t.shape
+        J = K // 3
     else:
         R, S, J, _ = pts_t.shape
     n = R * S
@@ -697,7 +698,7 @@ def nerf_encmlp_pallas(net_params: Dict[str, Any], rc,
 
     Args:
       pts_t: (R, S, J, 3) skeleton-relative points (f32), or
-        component-major (R, S, 3, J) when ``cm=True``.
+        flattened component-major (R, S, 3J) when ``cm=True``.
       rays_t_norm: (R, 3J) normalized per-joint local ray dirs.
       cutoff_dist: (J,) window radii; tau: window sharpness scalar.
       cam_idxs: (R,) framecode indices or None.
