@@ -179,8 +179,13 @@ class BaseH5Dataset:
         return c2w, focal, center, cam_idx.reshape(-1)
 
     def get_img_data(self, idx, pixel_idxs):
-        fg = self.dataset['masks'][idx, pixel_idxs].astype(np.float32)
-        img = self.dataset['imgs'][idx, pixel_idxs].astype(np.float32) / 255.
+        # h5py fancy indexing requires strictly-increasing UNIQUE
+        # indices; sampled pixels may repeat when an image has fewer
+        # valid mask pixels than N_rand (replace=True fallback), so
+        # gather the unique set and re-expand
+        uniq, inv = np.unique(pixel_idxs, return_inverse=True)
+        fg = self.dataset['masks'][idx, uniq][inv].astype(np.float32)
+        img = self.dataset['imgs'][idx, uniq][inv].astype(np.float32) / 255.
         bg = None
         if self.has_bg:
             bg = self.bgs[self.bg_idxs[idx], pixel_idxs].astype(

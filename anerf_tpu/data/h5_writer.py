@@ -54,14 +54,25 @@ def write_to_h5py(h5_path: str, data: Dict[str, np.ndarray],
 
 def make_synthetic_h5(h5_path: str, n_frames: int = 6, n_cams: int = 1,
                       H: int = 32, W: int = 32, ext_scale: float = 0.001,
-                      seed: int = 0, layout: str = 'frames') -> str:
+                      seed: int = 0, layout: str = 'frames',
+                      body_scale: float = 2.2,
+                      blob_radius: int = 1) -> str:
     """A tiny procedural dataset in the reference schema.
 
     ``layout='surreal'`` arranges images as (N_cams, N_kps) like
     SURREAL; ``'frames'`` is one camera per frame.
+
+    ``body_scale``: rest-pose multiplier (x ext_scale).  The default
+    keeps the historical tiny-body geometry (sub-pixel in image space
+    — fine for smoke tests); pass ~450 for a REALISTIC body (~1.7
+    units tall at the z=2.7 camera, like SURREAL's mm x 0.001 data)
+    whose joints project ~70 px apart — required when the photometric
+    signal itself must carry pose information (scripts/quality_run.py).
+    ``blob_radius``: half-size of each joint's colored square
+    (default 1 -> 3x3 px).
     """
     rng = np.random.RandomState(seed)
-    rest_pose = (SMPL_REST_POSE * ext_scale * 2.2).astype(np.float32)
+    rest_pose = (SMPL_REST_POSE * ext_scale * body_scale).astype(np.float32)
 
     bones = rng.normal(scale=0.12, size=(n_frames, 24, 3)).astype(np.float32)
     pelvis = rng.normal(scale=0.03, size=(n_frames, 3)).astype(np.float32)
@@ -106,8 +117,9 @@ def make_synthetic_h5(h5_path: str, n_frames: int = 6, n_cams: int = 1,
         py = (-cam[:, 1] / -cam[:, 2]) * focal + H * 0.5
         for j, (x, y) in enumerate(zip(px, py)):
             xi, yi = int(round(x)), int(round(y))
-            for dy in range(-1, 2):
-                for dx in range(-1, 2):
+            r = blob_radius
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
                     yy, xx = yi + dy, xi + dx
                     if 0 <= yy < H and 0 <= xx < W:
                         imgs[i, yy, xx] = (40 + 8 * j, 200 - 6 * j, 120)

@@ -114,7 +114,8 @@ def make_global_batch(mesh: Mesh, local_batch: Dict[str, Any],
 
 def shard_train_step(train_step: Callable, mesh: Mesh,
                      axis_name: str = 'data',
-                     global_batch: bool = False) -> Callable:
+                     global_batch: bool = False,
+                     stacked: bool = False) -> Callable:
     """jit the train step with batch sharded over rays and state
     replicated.  Loss means/grad sums become ICI all-reduces placed by
     XLA's SPMD partitioner.
@@ -123,8 +124,17 @@ def shard_train_step(train_step: Callable, mesh: Mesh,
     process's local shard and stitched into global arrays via
     ``make_global_batch`` (the multi-host input path); otherwise the
     full batch is device_put-sharded from one host (single-process).
+
+    ``stacked=True``: the batch dict carries a leading ``steps`` axis
+    (training.trainer.make_multi_train_step bundles), so rays are the
+    SECOND axis — sharded as P(None, 'data').
     """
-    data = batch_sharding(mesh, axis_name)
+    if stacked:
+        assert not global_batch, \
+            'steps_per_dispatch bundling is single-host for now'
+        data = NamedSharding(mesh, Pspec(None, axis_name))
+    else:
+        data = batch_sharding(mesh, axis_name)
 
     jitted = jax.jit(train_step, donate_argnums=(0,))
 

@@ -170,6 +170,11 @@ class Config:
     remat: bool = True               # recompute encodings in backward
     data_axis: str = 'data'          # mesh axis name for ray sharding
     n_devices: Optional[int] = None  # None = all visible devices
+    # bundle k train steps into one compiled program (lax.scan): on
+    # tunneled/remote hosts each dispatch costs ~0.5-1 ms of device
+    # idle; bundling amortizes it to 1/k.  Logging/ckpt cadences should
+    # be multiples of k.  Single-host only.
+    steps_per_dispatch: int = 1
 
     def __post_init__(self):
         if self.nerf_type != 'nerf':

@@ -76,25 +76,29 @@ def main():
     setup, state, batch, step_fn = T.build_flagship(
         n_rays=n_rays, opt_pose=True, compute_dtype='bfloat16')
 
-    # fold the per-step RNG inside the compiled step (keyed off the step
-    # counter) — a host-side fold_in would dispatch a second tiny device
-    # program per iteration, which costs ~3ms/step over the tunnel
-    def stepper(state, batch, rng):
-        return step_fn(state, batch, jax.random.fold_in(rng, state['step']))
-    step = jax.jit(stepper, donate_argnums=(0,))
+    # step bundling (training.trainer.make_multi_train_step, the
+    # run_train --steps_per_dispatch path): k scanned steps per
+    # dispatch amortize the ~0.5 ms/launch tunnel dispatch latency.
+    # The rng folds with the device-side step counter inside the scan.
+    import jax.numpy as jnp
+    from anerf_tpu.training.trainer import make_multi_train_step
+    spd = 10
+    multi = jax.jit(make_multi_train_step(setup, spd), donate_argnums=(0,))
+    batches = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (spd,) + x.shape), batch)
 
     rng = jax.random.PRNGKey(0)
     # warmup / compile; float() forces a host fetch — on this tunnel
     # transport block_until_ready can ack before execution finishes, so
     # every timing boundary must be a host readback of a value that
     # depends on the full chain of steps.
-    state, stats = step(state, batch, rng)
+    state, stats = multi(state, batches, rng)
     _ = float(stats['total_loss'])
 
     n_iters = 50
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        state, stats = step(state, batch, rng)
+    for i in range(n_iters // spd):
+        state, stats = multi(state, batches, rng)
     _ = float(stats['total_loss'])   # depends on all prior steps via state
     dt = time.perf_counter() - t0
     rays_per_sec = n_rays * n_iters / dt
@@ -141,6 +145,7 @@ def main():
         'mfu': mfu,
         'model_tflops_per_sec': round(achieved / 1e12, 1),
         'eval_rays_per_sec': round(eval_rays_per_sec, 1),
+        'steps_per_dispatch': spd,
         'device_kind': kind,
     }))
 

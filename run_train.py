@@ -35,7 +35,8 @@ def train(cfg):
                                                save_checkpoint,
                                                save_pose_checkpoint)
     from anerf_tpu.training.trainer import (TrainSetup, init_train_state,
-                                            make_train_step)
+                                            make_multi_train_step,
+                                            make_train_step, stack_batches)
     from anerf_tpu.eval.metrics import evaluate_images
     from anerf_tpu.utils.config import save_args_txt
     from anerf_tpu.utils.logging import (MetricLogger, draw_skeleton_2d)
@@ -129,8 +130,14 @@ def train(cfg):
     n_dev = cfg.n_devices or jax.device_count()
     mesh = make_mesh(n_dev)
     state = replicate_state(mesh, state)
-    step_fn = shard_train_step(make_train_step(setup), mesh,
-                               global_batch=proc_cnt > 1)
+    spd = max(1, int(cfg.steps_per_dispatch))
+    if spd > 1:
+        assert proc_cnt == 1, 'steps_per_dispatch>1 is single-host'
+        step_fn = shard_train_step(make_multi_train_step(setup, spd),
+                                   mesh, stacked=True)
+    else:
+        step_fn = shard_train_step(make_train_step(setup), mesh,
+                                   global_batch=proc_cnt > 1)
 
     renderer = ImageRenderer(rc, state['params'],
                              embed_state(cfg, rc, start),
@@ -142,13 +149,24 @@ def train(cfg):
           f'{n_dev} device(s)')
     t_last = time.time()
     i = start
+    bundle = []
     for batch in prefetcher:
         if i >= cfg.n_iters:
             break
-        if proc_cnt == 1:
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        state, stats = step_fn(state, batch, jax.random.fold_in(rng, i))
-        i += 1
+        if spd > 1:
+            # bundle spd batches into one lax.scan dispatch; the scan
+            # body folds the rng with the (device-side) step counter
+            bundle.append(batch)
+            if len(bundle) < spd:
+                continue
+            state, stats = step_fn(state, stack_batches(bundle), rng)
+            bundle = []
+            i += spd
+        else:
+            if proc_cnt == 1:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, stats = step_fn(state, batch, jax.random.fold_in(rng, i))
+            i += 1
 
         if i % cfg.i_print == 0 and is_host0:
             scalars = {k: v for k, v in stats.items()}

@@ -232,3 +232,20 @@ def test_host_slices_partition_global_draw(h5_path):
     draw = rng_g.choice(valid, 16, replace=False)
     assert set(a.tolist()) == set(draw[:8].tolist())
     assert set(b.tolist()) == set(draw[8:].tolist())
+
+
+def test_get_item_with_tiny_sampling_mask(tmp_path):
+    """Images with fewer valid mask pixels than N_rand sample with
+    replacement — the h5 gather must survive duplicate indices."""
+    import h5py
+    p = make_synthetic_h5(str(tmp_path / 't.h5'), n_frames=3, H=16, W=16)
+    with h5py.File(p, 'r+') as f:
+        sm = np.zeros_like(f['sampling_masks'][:])
+        sm[:, :5] = 1          # 5 valid pixels only
+        f['sampling_masks'][...] = sm
+    ds = BaseH5Dataset(p, N_samples=16)
+    item = ds.get_item(1, np.random.default_rng(0))
+    assert item['rays_o'].shape == (16, 3)
+    assert item['target_s'].shape == (16, 3)
+    # all sampled pixels come from the 5 valid ones (duplicates allowed)
+    assert len({bytes(r) for r in item['rays_d']}) <= 5

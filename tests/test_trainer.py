@@ -251,3 +251,65 @@ def test_sharded_pallas_train_step_matches_xla():
     # Adam normalizes the gradient scale, so param deltas are O(lr);
     # backends share quantization chain -> tight agreement expected
     np.testing.assert_allclose(pa, pb, atol=5e-4)
+
+
+def test_multi_train_step_matches_sequential():
+    """make_multi_train_step(k) == k sequential train_steps with the
+    same per-step rng folding (bit-equal final params + pose bank)."""
+    from anerf_tpu.training.trainer import (make_multi_train_step,
+                                            stack_batches)
+    cfg = tiny_config(opt_pose=True, opt_pose_step=2, opt_pose_coef=0.1,
+                      perturb=0., raw_noise_std=0.)
+    setup, batch, (kps, bones) = make_setup_and_batch(cfg)
+    state_a = init_train_state(setup, jax.random.PRNGKey(0),
+                               init_kp3d=kps, init_bones=bones)
+    state_b = jax.tree_util.tree_map(
+        lambda x: x.copy() if x is not None else None, state_a)
+
+    k = 3
+    rng = jax.random.PRNGKey(7)
+    batches = []
+    for s in range(k):
+        b = dict(batch)
+        b['target_s'] = batch['target_s'] + 0.01 * s
+        batches.append({kk: np.asarray(v) for kk, v in b.items()})
+
+    single = jax.jit(make_train_step(setup))
+    for s in range(k):
+        jb = {kk: jnp.asarray(v) for kk, v in batches[s].items()}
+        state_a, stats_a = single(
+            state_a, jb, jax.random.fold_in(rng, state_a['step']))
+
+    multi = jax.jit(make_multi_train_step(setup, k))
+    state_b, stats_b = multi(state_b, stack_batches(batches), rng)
+
+    assert int(state_b['step']) == int(state_a['step']) == k
+    np.testing.assert_array_equal(
+        np.asarray(state_a['params']['coarse']['rgb_linear']['w']),
+        np.asarray(state_b['params']['coarse']['rgb_linear']['w']))
+    np.testing.assert_array_equal(
+        np.asarray(state_a['pose_params']['bones']),
+        np.asarray(state_b['pose_params']['bones']))
+    np.testing.assert_allclose(float(stats_a['total_loss']),
+                               float(stats_b['total_loss']), rtol=1e-6)
+
+
+def test_multi_train_step_sharded():
+    """The bundled step under the 8-device mesh (stacked batch axes:
+    rays sharded on axis 1)."""
+    from anerf_tpu.training.trainer import (make_multi_train_step,
+                                            stack_batches)
+    cfg = tiny_config(opt_pose=True, opt_pose_step=1, opt_pose_coef=0.1,
+                      perturb=0., raw_noise_std=0.)
+    setup, batch, (kps, bones) = make_setup_and_batch(cfg)
+    state = init_train_state(setup, jax.random.PRNGKey(0),
+                             init_kp3d=kps, init_bones=bones)
+    mesh = make_mesh(8)
+    state = replicate_state(mesh, state)
+    step = shard_train_step(make_multi_train_step(setup, 2), mesh,
+                            stacked=True)
+    batches = stack_batches([
+        {k: np.asarray(v) for k, v in batch.items()}] * 2)
+    state, stats = step(state, batches, jax.random.PRNGKey(1))
+    assert int(state['step']) == 2
+    assert np.isfinite(float(stats['total_loss']))
