@@ -126,3 +126,28 @@ def test_entry_catalog_render(workdir):
     # add prefixed fallback pngs; count only the save_images frames)
     import re
     assert sum(bool(re.fullmatch(r'\d{4}\.png', f)) for f in files) == 10
+
+
+def test_train_cli_steps_per_dispatch(workdir):
+    """--steps_per_dispatch bundles k steps per compiled dispatch
+    (lax.scan) and must reach the same step count with finite losses."""
+    import json as _json
+    from anerf_tpu.utils.config import load_config
+    from run_train import train
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), '..',
+                                   'configs', 'synthetic_tiny.txt'))
+    cfg.expname = 'synthetic_tiny_spd'
+    cfg.basedir = str(workdir / 'logs')
+    cfg.datadir = str(workdir / 'synthetic.h5')
+    cfg.n_iters = 6
+    cfg.i_print = 2
+    cfg.i_weights = 6
+    cfg.num_workers = 1
+    cfg.steps_per_dispatch = 2
+    state = train(cfg)
+    assert int(state['step']) == 6
+    logdir = os.path.join(cfg.basedir, cfg.expname)
+    with open(os.path.join(logdir, 'metrics.jsonl')) as f:
+        recs = [_json.loads(l) for l in f]
+    assert any(np.isfinite(r.get('total_loss', np.nan)) for r in recs)
