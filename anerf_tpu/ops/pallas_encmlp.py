@@ -17,10 +17,12 @@ consuming weight rows are permuted once at flatten time (a traced
 gather, so weight gradients scatter back to the right rows), keeping
 the math identical to models/nerf_mlp.py + ops/embedding.py.
 
-The backward kernel recomputes the encode + forward activations per
-tile (flash-style), runs the hand-written MLP backward from
-pallas_mlp, and pulls the input cotangents back through the encode
-with ``jax.vjp`` traced inside the kernel.
+The backward kernel reloads the PE rows stashed by the forward kernel
+(skipping the wide in-kernel sin), recomputes the cheap rest of the
+encode + the forward activations per tile (flash-style), runs the
+hand-written MLP backward from pallas_mlp, and pulls the input
+cotangents back through the encode with a hand-written
+transcendental-free pullback (``_encode_pullback``).
 
 Reference math covered (cited per the survey):
   * reldist / reldir / relray encoders  (core/encoders.py:101-193)
@@ -64,11 +66,36 @@ def _comp_major_perm(J: int) -> np.ndarray:
     return (j * 3 + comp).astype(np.int32)
 
 
-def _encode_tile(est: EncStatic, p, enc_blk, cutoff, tau):
-    """In-VMEM encode: (T,3J) comp-major pts_t -> (v, r, xv) f32.
+def _rep(a, k):
+    """(T, C) -> (T, k*C), column blocks repeated.  Concat rather
+    than broadcast+reshape: Mosaic does not lower minor-dim merges
+    ("unsupported shape cast")."""
+    return jnp.concatenate([a] * k, axis=-1)
+
+
+def _sum_blocks(a, width: int, k: int):
+    """Inverse of ``_rep``: fold (T, k*width) back to (T, width) by
+    summing the k column blocks (the pullback of a block-repeat)."""
+    acc = a[:, :width]
+    for i in range(1, k):
+        acc = acc + a[:, i * width:(i + 1) * width]
+    return acc
+
+
+def _encode_fwd_res(est: EncStatic, p, enc_blk, cutoff, tau, bands=None):
+    """In-VMEM encode returning (v, r, xv) f32 plus pullback residuals.
 
     Mirrors ops/embedding.embed for the flagship flags
     (include_input=True, cutoff_inputs=True, no shift/cut_to/schedule).
+    Residuals (dists, w, bands, invd) let ``_encode_pullback`` run with
+    ZERO additional transcendentals: each sin band's derivative is its
+    paired cos band, sigmoid' reuses the stored window, sqrt' reuses
+    the stored distances.
+
+    ``bands``: optionally the PE rows stashed by the forward kernel
+    (f32, so the pullback's freq-scaled reuse stays exact) — the
+    backward kernel passes them in to skip the wide sin, the dominant
+    VPU cost of the in-kernel re-encode.
     """
     J = est.J
     T = p.shape[0]
@@ -76,31 +103,28 @@ def _encode_tile(est: EncStatic, p, enc_blk, cutoff, tau):
     dists = jnp.sqrt(x * x + y * y + z * z)              # (T, J)
     w = 1. - jax.nn.sigmoid(tau * (dists - cutoff))      # (T, J)
 
-    def rep(a, k):
-        """(T, C) -> (T, k*C), column blocks repeated.  Concat rather
-        than broadcast+reshape: Mosaic does not lower minor-dim merges
-        ("unsupported shape cast")."""
-        return jnp.concatenate([a] * k, axis=-1)
-
     # kp 'reldist' + cutoff PE: rows [x, sin f0 x, cos f0 x, ...] * w.
     # One wide sin over all 2F bands (cos via sin(x + pi/2)) keeps the
     # VPU at full lane width instead of 2F narrow 24-lane calls.
     F = len(est.kp_freqs)
-    # freq/phase rows built from iota (pallas kernels cannot capture
-    # array constants): band k uses freq 2^(k//2) (log-sampled bands),
-    # phase pi/2 turns the odd rows into cosines
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * F * J), 1)
-    k2 = col // J
-    freq_row = jnp.exp2((k2 // 2).astype(jnp.float32))
-    phase_row = (k2 % 2).astype(jnp.float32) * (np.pi / 2)
-    bands = jnp.sin(rep(dists, 2 * F) * freq_row + phase_row)
-    v = jnp.concatenate([dists, bands], axis=-1) * rep(w, 2 * F + 1)
+    if bands is None:
+        # freq/phase rows built from iota (pallas kernels cannot capture
+        # array constants): band k uses freq 2^(k//2) (log-sampled
+        # bands), phase pi/2 turns the odd rows into cosines
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * F * J), 1)
+        k2 = col // J
+        freq_row = jnp.exp2((k2 // 2).astype(jnp.float32))
+        phase_row = (k2 % 2).astype(jnp.float32) * (np.pi / 2)
+        bands = jnp.sin(_rep(dists, 2 * F) * freq_row + phase_row)
+    else:
+        bands = bands.astype(jnp.float32)
+    v = jnp.concatenate([dists, bands], axis=-1) * _rep(w, 2 * F + 1)
 
     # bone 'reldir' (identity PE): normalize, windowed only under
     # --cutoff_bones (plain identity embed otherwise; embedding.py:155)
-    d3 = rep(dists, 3)
-    w3 = rep(w, 3)
-    r = p / jnp.maximum(d3, est.eps)                     # (T, 3J)
+    invd = 1. / jnp.maximum(dists, est.eps)              # (T, J)
+    w3 = _rep(w, 3)
+    r = p * _rep(invd, 3)                                # (T, 3J)
     if est.bone_windowed:
         r = r * w3
 
@@ -108,8 +132,88 @@ def _encode_tile(est: EncStatic, p, enc_blk, cutoff, tau):
     # (leading-dim broadcast over samples IS a supported reshape)
     nbJ3 = est.view_nb * 3 * J
     enc_b = jnp.broadcast_to(enc_blk[:, None], (est.rpt, est.S, nbJ3))
-    xv = enc_b.reshape(T, nbJ3) * rep(w3, est.view_nb)
-    return v, r, xv
+    xv = enc_b.reshape(T, nbJ3) * _rep(w3, est.view_nb)
+    return (v, r, xv), (dists, w, bands, invd)
+
+
+def _encode_tile(est: EncStatic, p, enc_blk, cutoff, tau):
+    """In-VMEM encode: (T,3J) comp-major pts_t -> (v, r, xv) f32."""
+    return _encode_fwd_res(est, p, enc_blk, cutoff, tau)[0]
+
+
+def _encode_pullback(est: EncStatic, p, enc_blk, res, tau,
+                     gv, gr, gxv):
+    """Hand-written VJP of ``_encode_fwd_res`` (f32 cotangents in).
+
+    Transcendental-free: ``jax.vjp`` re-emits a cos per sin band plus
+    sigmoid/rsqrt derivatives (measured 1.4 ms/step at the flagship
+    recipe, scripts/bench_enc_cost.py); here every derivative reuses a
+    forward residual —
+      d sin(f d)        =  f * cos-band (the adjacent PE row)
+      d cos(f d)        = -f * sin-band
+      d sigmoid         = tau * sig * w        (sig = 1 - w)
+      d sqrt / d invd   = from stored dists/invd.
+    Returns (dp, denc_blk).
+    """
+    J = est.J
+    dists, w, bands, invd = res
+    F = len(est.kp_freqs)
+
+    # ---- v = [dists|bands] * rep(w) ----
+    w_blocks = _rep(w, 2 * F + 1)
+    g_vraw = gv * w_blocks
+    vraw = jnp.concatenate([dists, bands], axis=-1)
+    g_w = _sum_blocks(gv * vraw, J, 2 * F + 1)
+    g_dists = g_vraw[:, :J]
+    g_bands = g_vraw[:, J:]
+
+    # bands pullback via the paired rows: swap each (sin, cos) block
+    # pair and scale by +-freq (built from iota like the forward)
+    pair_parts = []
+    for m in range(F):
+        s_blk = bands[:, (2 * m) * J:(2 * m + 1) * J]
+        c_blk = bands[:, (2 * m + 1) * J:(2 * m + 2) * J]
+        pair_parts += [c_blk, s_blk]
+    paired = jnp.concatenate(pair_parts, axis=-1)        # (T, 2FJ)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * F * J), 1)
+    k2 = col // J
+    sfreq = jnp.exp2((k2 // 2).astype(jnp.float32)) \
+        * (1. - 2. * (k2 % 2).astype(jnp.float32))       # +f, -f, ...
+    g_dists = g_dists + _sum_blocks(g_bands * sfreq * paired, J, 2 * F)
+
+    # ---- r = p * rep(invd) [* rep(w,3) if windowed] ----
+    invd3 = _rep(invd, 3)
+    if est.bone_windowed:
+        w3 = _rep(w, 3)
+        dp = gr * invd3 * w3
+        g_w = g_w + _sum_blocks(gr * p * invd3, J, 3)
+        g_invd = _sum_blocks(gr * p * w3, J, 3)
+    else:
+        dp = gr * invd3
+        g_invd = _sum_blocks(gr * p, J, 3)
+    # invd = 1/max(dists, eps): zero slope on the clamped branch
+    g_dists = g_dists - g_invd * (invd * invd) \
+        * (dists > est.eps).astype(jnp.float32)
+
+    # ---- xv = broadcast(enc_blk) * rep(rep(w,3), nb) ----
+    nbJ3 = est.view_nb * 3 * J
+    enc_flat = jnp.broadcast_to(enc_blk[:, None],
+                                (est.rpt, est.S, nbJ3)).reshape(-1, nbJ3)
+    w3 = _rep(w, 3)
+    g_enc_flat = gxv * _rep(w3, est.view_nb)
+    denc = g_enc_flat.reshape(est.rpt, est.S, nbJ3).sum(axis=1)
+    g_w = g_w + _sum_blocks(
+        _sum_blocks(gxv * enc_flat, 3 * J, est.view_nb), J, 3)
+
+    # ---- w = 1 - sigmoid(tau (d - cutoff)) ----
+    sig = 1. - w
+    g_dists = g_dists - g_w * (tau * sig * w)
+
+    # ---- dists = sqrt(x^2 + y^2 + z^2), comp-major p ----
+    # d dists / d p_c = p_c / dists; reuse invd (== 1/dists away from 0,
+    # where the true sqrt-grad is non-finite anyway)
+    dp = dp + p * _rep(g_dists * invd, 3)
+    return dp, denc
 
 
 def _codes_tile(est: EncStatic, codes_blk, T):
@@ -118,15 +222,23 @@ def _codes_tile(est: EncStatic, codes_blk, T):
     return c.reshape(T, codes_blk.shape[-1])
 
 
-def _fwd_kernel(st: MLPStatic, est: EncStatic, *refs):
+def _fwd_kernel(st: MLPStatic, est: EncStatic, stash: bool, *refs):
     i = 2 + (1 if est.has_codes else 0)
     p, enc_blk = refs[0][:], refs[1][:]
     codes_blk = refs[2][:] if est.has_codes else None
     cutoff, tau = refs[i][:], refs[i + 1][0, 0]
-    wrefs, out_ref = refs[i + 2:-1], refs[-1]
+    n_out = 2 if stash else 1
+    wrefs, out_ref = refs[i + 2:len(refs) - n_out], refs[-n_out]
 
-    v, r, xv = _encode_tile(est, p, enc_blk, cutoff, tau)
+    (v, r, xv), (_, _, bands, _) = _encode_fwd_res(est, p, enc_blk,
+                                                   cutoff, tau)
     b16 = lambda a: a.astype(jnp.bfloat16)
+    if stash:
+        # PE rows for the backward kernel (f32: the pullback scales
+        # them by freq, so bf16 rounding would visibly perturb pose
+        # grads): skipping their in-bwd recompute removes the wide sin
+        # from the backward entirely
+        refs[-1][:] = bands
     xs = [b16(v), b16(r)]
     xvs = [b16(xv)]
     if est.has_codes:
@@ -229,8 +341,9 @@ def _bwd_kernel(st: MLPStatic, est: EncStatic, *refs):
     codes_blk = refs[2][:] if est.has_codes else None
     cutoff, tau = refs[n_in][:], refs[n_in + 1][0, 0]
     g_ref = refs[n_in + 2]
-    wrefs = refs[n_in + 3:n_in + 3 + n_w]
-    orefs = refs[n_in + 3 + n_w:]
+    bands_ref = refs[n_in + 3]
+    wrefs = refs[n_in + 4:n_in + 4 + n_w]
+    orefs = refs[n_in + 4 + n_w:]
     dp_ref, denc_ref = orefs[0], orefs[1]
     dcodes_ref = orefs[2] if est.has_codes else None
     grefs = orefs[n_in:]
@@ -242,23 +355,22 @@ def _bwd_kernel(st: MLPStatic, est: EncStatic, *refs):
 
     T = p.shape[0]
     b16 = lambda a: a.astype(jnp.bfloat16)
+    f32 = lambda a: a.astype(jnp.float32)
 
-    # encode with a pullback traced in-kernel
-    def enc_fn(p_, enc_):
-        v_, r_, xv_ = _encode_tile(est, p_, enc_, cutoff, tau)
-        return b16(v_), b16(r_), b16(xv_)
-
-    (v, r, xv), enc_pull = jax.vjp(enc_fn, p, enc_blk)
-    xs = [v, r]
-    xvs = [xv]
+    (v, r, xv), enc_res = _encode_fwd_res(est, p, enc_blk, cutoff, tau,
+                                          bands=bands_ref[:])
+    xs = [b16(v), b16(r)]
+    xvs = [b16(xv)]
     if est.has_codes:
         xvs.append(b16(_codes_tile(est, codes_blk, T)))
 
     g_x_acc, g_xvs = _mlp_bwd_tile(st, xs, xvs, wrefs, grefs, g_ref[:])
 
     # --- encode backward: pull (dv, dr, dxv) to (dp, denc) ---
-    dp, denc = enc_pull((b16(g_x_acc[0]), b16(g_x_acc[1]),
-                         b16(g_xvs[0])))
+    # cotangents round-trip bf16 (same quantization as the MLP path)
+    dp, denc = _encode_pullback(est, p, enc_blk, enc_res, tau,
+                                f32(b16(g_x_acc[0])), f32(b16(g_x_acc[1])),
+                                f32(b16(g_xvs[0])))
     dp_ref[:] = dp.astype(dp_ref.dtype)
     denc_ref[:] = denc.astype(denc_ref.dtype)
     if est.has_codes:
@@ -280,25 +392,26 @@ def _in_specs(st: MLPStatic, est: EncStatic, J: int):
     return specs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _fused(st: MLPStatic, est: EncStatic, p, enc_ray, codes, cutoff, tau,
-           flat):
-    return _fused_fwd(st, est, p, enc_ray, codes, cutoff, tau, flat)[0]
-
-
-def _fused_fwd(st, est, p, enc_ray, codes, cutoff, tau, flat):
+def _fused_call(st, est, p, enc_ray, codes, cutoff, tau, flat,
+                stash: bool):
     n = p.shape[0]
     grid = (n // st.tile,)
     J = est.J
     args = [p, enc_ray] + ([codes] if est.has_codes else []) \
         + [cutoff, tau] + list(flat)
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, st, est),
+    nb = 2 * len(est.kp_freqs) * J
+    out_specs = [_tile_spec(st.tile, 4)]
+    out_shape = [jax.ShapeDtypeStruct((n, 4), jnp.float32)]
+    if stash:
+        out_specs.append(_tile_spec(st.tile, nb))
+        out_shape.append(jax.ShapeDtypeStruct((n, nb), jnp.float32))
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, st, est, stash),
         grid=grid,
         in_specs=_in_specs(st, est, J)
         + [_const_spec(s) for s, _ in _weight_shapes(st)],
-        out_specs=_tile_spec(st.tile, 4),
-        out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=_mlp_flops(st, n),
             bytes_accessed=n * 3 * J * 4 + n * 16,
@@ -307,7 +420,21 @@ def _fused_fwd(st, est, p, enc_ray, codes, cutoff, tau, flat):
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=st.interpret,
     )(*args)
-    return out, (p, enc_ray, codes, cutoff, tau, flat)
+    return outs if stash else (outs[0], None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused(st: MLPStatic, est: EncStatic, p, enc_ray, codes, cutoff, tau,
+           flat):
+    # primal-only calls (eval/render) skip the bands stash entirely
+    return _fused_call(st, est, p, enc_ray, codes, cutoff, tau, flat,
+                       stash=False)[0]
+
+
+def _fused_fwd(st, est, p, enc_ray, codes, cutoff, tau, flat):
+    out, bands = _fused_call(st, est, p, enc_ray, codes, cutoff, tau,
+                             flat, stash=True)
+    return out, (p, enc_ray, codes, cutoff, tau, flat, bands)
 
 
 def _bwd_statics(st, est):
@@ -320,11 +447,12 @@ def _bwd_statics(st, est):
 
 
 def _fused_bwd(st, est, res, g):
-    p, enc_ray, codes, cutoff, tau, flat = res
+    p, enc_ray, codes, cutoff, tau, flat, bands = res
     st, est = _bwd_statics(st, est)
     n = p.shape[0]
     grid = (n // st.tile,)
     J = est.J
+    nb = 2 * len(est.kp_freqs) * J
     gshapes = _weight_shapes(st)
     n_rays = enc_ray.shape[0]
     out_shape = [jax.ShapeDtypeStruct(p.shape, p.dtype),
@@ -337,11 +465,12 @@ def _fused_bwd(st, est, res, g):
     out_shape += [jax.ShapeDtypeStruct(s, jnp.float32) for s, _ in gshapes]
     out_specs += [_const_spec(s) for s, _ in gshapes]
     args = [p, enc_ray] + ([codes] if est.has_codes else []) \
-        + [cutoff, tau, g.astype(jnp.float32)] + list(flat)
+        + [cutoff, tau, g.astype(jnp.float32), bands] + list(flat)
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, st, est),
         grid=grid,
-        in_specs=_in_specs(st, est, J) + [_tile_spec(st.tile, 4)]
+        in_specs=_in_specs(st, est, J)
+        + [_tile_spec(st.tile, 4), _tile_spec(st.tile, nb)]
         + [_const_spec(s) for s, _ in gshapes],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -382,7 +511,7 @@ def _dual_in_specs(st: MLPStatic, est: EncStatic, J: int):
     return specs
 
 
-def _fwd_kernel_dual(st: MLPStatic, est: EncStatic, *refs):
+def _fwd_kernel_dual(st: MLPStatic, est: EncStatic, stash: bool, *refs):
     k = 2 + (2 if est.has_codes else 0)
     p, enc_blk = refs[0][:], refs[1][:]
     codes = (refs[2][:], refs[3][:]) if est.has_codes else (None, None)
@@ -390,10 +519,14 @@ def _fwd_kernel_dual(st: MLPStatic, est: EncStatic, *refs):
     n_w = _num_weight_operands(st)
     wrefs_all = (refs[k + 2:k + 2 + n_w],
                  refs[k + 2 + n_w:k + 2 + 2 * n_w])
-    out_refs = (refs[-2], refs[-1])
+    n_out = 3 if stash else 2
+    out_refs = (refs[-n_out], refs[-n_out + 1])
 
-    v, r, xv = _encode_tile(est, p, enc_blk, cutoff, tau)
+    (v, r, xv), (_, _, bands, _) = _encode_fwd_res(est, p, enc_blk,
+                                                   cutoff, tau)
     b16 = lambda a: a.astype(jnp.bfloat16)
+    if stash:
+        refs[-1][:] = bands
     xs = [b16(v), b16(r)]
     xv_b = b16(xv)
     T = p.shape[0]
@@ -413,9 +546,10 @@ def _bwd_kernel_dual(st: MLPStatic, est: EncStatic, *refs):
     codes = (refs[2][:], refs[3][:]) if est.has_codes else (None, None)
     cutoff, tau = refs[k][:], refs[k + 1][0, 0]
     g_refs = (refs[k + 2], refs[k + 3])
-    wrefs_all = (refs[k + 4:k + 4 + n_w],
-                 refs[k + 4 + n_w:k + 4 + 2 * n_w])
-    orefs = refs[k + 4 + 2 * n_w:]
+    bands_ref = refs[k + 4]
+    wrefs_all = (refs[k + 5:k + 5 + n_w],
+                 refs[k + 5 + n_w:k + 5 + 2 * n_w])
+    orefs = refs[k + 5 + 2 * n_w:]
     dp_ref, denc_ref = orefs[0], orefs[1]
     dcodes_refs = (orefs[2], orefs[3]) if est.has_codes else (None, None)
     grefs_all = orefs[k:]
@@ -428,13 +562,13 @@ def _bwd_kernel_dual(st: MLPStatic, est: EncStatic, *refs):
 
     T = p.shape[0]
     b16 = lambda a: a.astype(jnp.bfloat16)
+    f32 = lambda a: a.astype(jnp.float32)
 
-    def enc_fn(p_, enc_):
-        v_, r_, xv_ = _encode_tile(est, p_, enc_, cutoff, tau)
-        return b16(v_), b16(r_), b16(xv_)
-
-    (v, r, xv), enc_pull = jax.vjp(enc_fn, p, enc_blk)
-    xs = [v, r]
+    (v_f, r_f, xv_f), enc_res = _encode_fwd_res(est, p, enc_blk,
+                                                cutoff, tau,
+                                                bands=bands_ref[:])
+    xv = b16(xv_f)
+    xs = [b16(v_f), b16(r_f)]
     gx_tot = [jnp.zeros((T, d), jnp.float32) for d in st.dparts]
     gxv_tot = jnp.zeros((T, st.vparts[0]), jnp.float32)
     for net in range(2):
@@ -450,33 +584,35 @@ def _bwd_kernel_dual(st: MLPStatic, est: EncStatic, *refs):
             dcodes_refs[net][:] = dc.astype(dcodes_refs[net].dtype)
 
     # both networks consume the same encoded tile -> cotangents add
-    dp, denc = enc_pull((b16(gx_tot[0]), b16(gx_tot[1]), b16(gxv_tot)))
+    # (bf16 round-trip matches the former vjp-through-bf16-cast path)
+    dp, denc = _encode_pullback(est, p, enc_blk, enc_res, tau,
+                                f32(b16(gx_tot[0])), f32(b16(gx_tot[1])),
+                                f32(b16(gxv_tot)))
     dp_ref[:] = dp.astype(dp_ref.dtype)
     denc_ref[:] = denc.astype(denc_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _fused_dual(st: MLPStatic, est: EncStatic, p, enc_ray,
-                codes_c, codes_f, cutoff, tau, flat_c, flat_f):
-    return _fused_dual_fwd(st, est, p, enc_ray, codes_c, codes_f,
-                           cutoff, tau, flat_c, flat_f)[0]
-
-
-def _fused_dual_fwd(st, est, p, enc_ray, codes_c, codes_f, cutoff, tau,
-                    flat_c, flat_f):
+def _fused_dual_call(st, est, p, enc_ray, codes_c, codes_f, cutoff, tau,
+                     flat_c, flat_f, stash: bool):
     n = p.shape[0]
     grid = (n // st.tile,)
     J = est.J
+    nb = 2 * len(est.kp_freqs) * J
     args = [p, enc_ray] \
         + ([codes_c, codes_f] if est.has_codes else []) \
         + [cutoff, tau] + list(flat_c) + list(flat_f)
     wspecs = [_const_spec(s) for s, _ in _weight_shapes(st)]
+    out_specs = [_tile_spec(st.tile, 4)] * 2
+    out_shape = [jax.ShapeDtypeStruct((n, 4), jnp.float32)] * 2
+    if stash:
+        out_specs.append(_tile_spec(st.tile, nb))
+        out_shape.append(jax.ShapeDtypeStruct((n, nb), jnp.float32))
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel_dual, st, est),
+        functools.partial(_fwd_kernel_dual, st, est, stash),
         grid=grid,
         in_specs=_dual_in_specs(st, est, J) + wspecs + wspecs,
-        out_specs=[_tile_spec(st.tile, 4)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((n, 4), jnp.float32)] * 2,
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * _mlp_flops(st, n),
             bytes_accessed=n * 3 * J * 4 + 2 * n * 16,
@@ -485,17 +621,36 @@ def _fused_dual_fwd(st, est, p, enc_ray, codes_c, codes_f, cutoff, tau,
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=st.interpret,
     )(*args)
-    return tuple(outs), (p, enc_ray, codes_c, codes_f, cutoff, tau,
-                         flat_c, flat_f)
+    return outs if stash else (outs[0], outs[1], None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_dual(st: MLPStatic, est: EncStatic, p, enc_ray,
+                codes_c, codes_f, cutoff, tau, flat_c, flat_f):
+    # primal-only (eval) path: no bands stash
+    o_c, o_f, _ = _fused_dual_call(st, est, p, enc_ray, codes_c, codes_f,
+                                   cutoff, tau, flat_c, flat_f,
+                                   stash=False)
+    return o_c, o_f
+
+
+def _fused_dual_fwd(st, est, p, enc_ray, codes_c, codes_f, cutoff, tau,
+                    flat_c, flat_f):
+    o_c, o_f, bands = _fused_dual_call(st, est, p, enc_ray, codes_c,
+                                       codes_f, cutoff, tau, flat_c,
+                                       flat_f, stash=True)
+    return (o_c, o_f), (p, enc_ray, codes_c, codes_f, cutoff, tau,
+                        flat_c, flat_f, bands)
 
 
 def _fused_dual_bwd(st, est, res, g):
-    p, enc_ray, codes_c, codes_f, cutoff, tau, flat_c, flat_f = res
+    p, enc_ray, codes_c, codes_f, cutoff, tau, flat_c, flat_f, bands = res
     g_c, g_f = g
     st, est = _bwd_statics(st, est)
     n = p.shape[0]
     grid = (n // st.tile,)
     J = est.J
+    nb = 2 * len(est.kp_freqs) * J
     gshapes = _weight_shapes(st)
     out_shape = [jax.ShapeDtypeStruct(p.shape, p.dtype),
                  jax.ShapeDtypeStruct(enc_ray.shape, enc_ray.dtype)]
@@ -511,13 +666,15 @@ def _fused_dual_bwd(st, est, res, g):
     wspecs = [_const_spec(s) for s, _ in gshapes]
     args = [p, enc_ray] \
         + ([codes_c, codes_f] if est.has_codes else []) \
-        + [cutoff, tau, g_c.astype(jnp.float32), g_f.astype(jnp.float32)] \
+        + [cutoff, tau, g_c.astype(jnp.float32), g_f.astype(jnp.float32),
+           bands] \
         + list(flat_c) + list(flat_f)
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel_dual, st, est),
         grid=grid,
         in_specs=_dual_in_specs(st, est, J)
-        + [_tile_spec(st.tile, 4)] * 2 + wspecs + wspecs,
+        + [_tile_spec(st.tile, 4)] * 2 + [_tile_spec(st.tile, nb)]
+        + wspecs + wspecs,
         out_specs=out_specs,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
