@@ -9,9 +9,11 @@ Key departures from the reference, all preserving the math:
     module state, no DataParallel, no chunking (static shapes; callers
     batch via vmap/lax.map/sharding instead of python loops);
   * the framecode index is an int array, not a float feature channel;
-  * coarse/fine merge is a static-shape ``take_along_axis`` gather with
-    the same autograd semantics as the reference's gather-based
-    ``merge_samples`` (raycasters.py:796-812);
+  * coarse/fine merge is a one-hot rank permutation consumed by
+    ``compositing.raw2outputs_merged``: only scalar densities/depths
+    ride into depth order (weights ride back), with the same autograd
+    semantics as the reference's gather-based ``merge_samples``
+    (raycasters.py:796-812);
   * randomness (stratified jitter, importance uniforms, density noise,
     ray noise) comes from a threaded PRNG key, or can be pinned through
     ``fixed`` for golden parity against the reference's pytest mode.
@@ -195,29 +197,6 @@ def _rank_perm(ranks):
         jax.nn.one_hot(ranks, K, dtype=jnp.float32))
 
 
-def _permute_vals(P, z_cat):
-    """Sorted union of depth values: out[p] = sum_k P[k,p] * z_cat[k].
-    One-hot rows pick a single addend in f32, so values pass through
-    bit-exact and gradients flow to z_cat like a gather (reference
-    torch.sort values, ray_utils.py:283-287)."""
-    return jnp.einsum('rk,rkp->rp', z_cat, P,
-                      precision=jax.lax.Precision.HIGHEST)
-
-
-def _permute_rows(x, P):
-    """Sorted union of thin per-sample rows via the same one-hot matmul
-    (reference gather-based merge_samples, raycasters.py:796-812).
-
-    ``take_along_axis`` on (R, S, 4) lowers to S-row gathers of 4-float
-    rows — far below the 128-lane width, ~2ms/step at flagship size.
-    A one-hot batched matmul keeps the permutation on the MXU instead
-    (f32, so the raw values pass through bit-exact: one-hot rows pick
-    a single addend, and XLA won't downcast f32 matmuls uninvited).
-    """
-    return jnp.einsum('rkp,rkc->rpc', P, x.astype(jnp.float32),
-                      precision=jax.lax.Precision.HIGHEST)
-
-
 def render_rays(rc: RayCastConfig,
                 params: Dict[str, Any],
                 rays_o: jnp.ndarray,
@@ -358,8 +337,7 @@ def render_rays(rc: RayCastConfig,
             det=(rc.perturb == 0.), is_only=rc.single_net,
             rng=k_fine, u=fixed.get('fine_u'))
         P = _rank_perm(ranks)
-        z_merged = _permute_vals(P, jnp.concatenate([z_vals, z_samples],
-                                                    axis=-1))
+        z_cat = jnp.concatenate([z_vals, z_samples], axis=-1)
         pts_is = rays_o[:, None] + rays_d[:, None] * z_samples[..., None]
         if rc.ray_noise_std > 0. and k_ray2 is not None:
             pts_is = pts_is + jax.random.normal(k_ray2, pts_is.shape) \
@@ -370,26 +348,26 @@ def render_rays(rc: RayCastConfig,
             # The MLP is pointwise across samples, so evaluate the fine
             # net on the coarse points (reusing their encodings — or the
             # fused kernel — uncopied) and the new points as TWO passes,
-            # concatenate only the thin (N_rays, S, 4) raw outputs, and
-            # permute into depth order — identical math to the
+            # then composite straight off the unsorted concat: only the
+            # scalar densities ride the rank permutation into depth
+            # order and the weights ride back — identical math to the
             # reference's sort-encodings-then-run (raycasters.py:456-461)
-            # without ever concatenating the fat encodings in HBM.
+            # without concatenating fat encodings OR permuting raw rows.
             raw_c = raw_c_pre if raw_c_pre is not None \
                 else run_pass(fine_params, pts, 'coarse')
             raw_n = run_pass(fine_params, pts_is, 'fine')
-            raw_all = jnp.concatenate([raw_c, raw_n], axis=1)
-            raw = _permute_rows(raw_all, P)
+            raw_cat = jnp.concatenate([raw_c, raw_n], axis=1)
         else:
             raw_is = run_pass(fine_params, pts_is, 'fine')
-            raw = _permute_rows(jnp.concatenate([raw, raw_is], axis=1), P)
+            raw_cat = jnp.concatenate([raw, raw_is], axis=1)
 
         noise = fixed.get('fine_noise')
         if noise is None and rc.raw_noise_std > 0. and k_fnoise is not None:
-            noise = jax.random.normal(k_fnoise, raw.shape[:-1]) \
+            noise = jax.random.normal(k_fnoise, raw_cat.shape[:-1]) \
                 * rc.raw_noise_std * rc.density_scale
-        ret = compositing.raw2outputs(raw, z_merged, rays_d, noise=noise,
-                                      density_scale=rc.density_scale,
-                                      act_fn=rc.density_fn())
+        ret = compositing.raw2outputs_merged(
+            raw_cat, z_cat, P, rays_d, noise=noise,
+            density_scale=rc.density_scale, act_fn=rc.density_fn())
 
     out = {'rgb_map': ret['rgb_map'], 'disp_map': ret['disp_map'],
            'acc_map': ret['acc_map'], 'alpha': ret['alpha'],

@@ -75,3 +75,68 @@ def raw2outputs(raw: jnp.ndarray,
 
     return {'rgb_map': rgb_map, 'disp_map': disp_map, 'acc_map': acc_map,
             'depth_map': depth_map, 'weights': weights, 'alpha': alpha}
+
+
+def raw2outputs_merged(raw_cat: jnp.ndarray,
+                       z_cat: jnp.ndarray,
+                       P: jnp.ndarray,
+                       rays_d: jnp.ndarray,
+                       noise: Optional[jnp.ndarray] = None,
+                       density_scale: float = 1.0,
+                       act_fn: Callable = jax.nn.relu,
+                       rgb_eps: float = 0.001) -> Dict[str, jnp.ndarray]:
+    """``raw2outputs`` on a sorted union WITHOUT permuting the raw rows.
+
+    The depth-ordered union of coarse+fine samples enters as the
+    unsorted concatenation ``raw_cat``/``z_cat`` plus the one-hot rank
+    permutation ``P[r, k, p] = 1`` iff concat element k sorts to
+    position p.  Only scalar lanes ride through P: depths and densities
+    are permuted into depth order for the transmittance scan, and the
+    resulting weights are pulled BACK to concat order
+    (``w_cat[k] = sum_p P[k,p] w[p]``); every output map is then a
+    permutation-invariant reduction in concat order.  Identical math to
+    ``raw2outputs`` on P-permuted raw — the reference's
+    sort-then-composite (core/raycasters.py:796-812 + nerf.py:150-205)
+    — while the fat (R, K, 4) permutation einsum and the layout copies
+    XLA wraps around it disappear from the step.
+
+    Args:
+      raw_cat: (N_rays, K, 4) raw outputs in concat (unsorted) order.
+      z_cat: (N_rays, K) matching depths.
+      P: (N_rays, K, K) one-hot rank permutation (stop-gradient).
+      noise: optional (N_rays, K) density noise in SORTED layout (the
+        reference draws it on the sorted raw, nerf.py:174-182).
+    Returns:
+      dict as ``raw2outputs``; ``weights``/``alpha`` are in sorted
+      (depth) order, matching the reference's fine-pass outputs.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    z_sorted = jnp.einsum('rk,rkp->rp', z_cat, P, precision=hi)
+
+    dists = z_sorted[..., 1:] - z_sorted[..., :-1]
+    dists = jnp.concatenate(
+        [dists, jnp.full_like(dists[..., :1], 1e10)], -1)
+    dists = dists * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    sigma = raw_cat[..., 3] / density_scale
+    sigma = jnp.einsum('rk,rkp->rp', sigma, P, precision=hi)
+    if noise is not None:
+        sigma = sigma + noise
+    alpha = 1. - jnp.exp(-act_fn(sigma) * dists)
+
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(alpha[..., :1]),
+                         1. - alpha + 1e-10], -1), -1)[..., :-1]
+    weights = alpha * trans
+    w_cat = jnp.einsum('rp,rkp->rk', weights, P, precision=hi)
+
+    rgb = jax.nn.sigmoid(raw_cat[..., :3]) * (1 + 2 * rgb_eps) - rgb_eps
+    rgb_map = jnp.sum(w_cat[..., None] * rgb, -2)
+    depth_map = jnp.sum(w_cat * z_cat, -1)
+    acc_raw = jnp.sum(weights, -1)
+    disp_map = 1. / jnp.maximum(1e-10, depth_map / (acc_raw + 1e-10))
+    disp_map = jnp.where(jnp.isclose(acc_raw, 0.), 0., disp_map)
+    acc_map = jnp.minimum(acc_raw, 1.)
+
+    return {'rgb_map': rgb_map, 'disp_map': disp_map, 'acc_map': acc_map,
+            'depth_map': depth_map, 'weights': weights, 'alpha': alpha}
