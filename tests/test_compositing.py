@@ -105,3 +105,49 @@ def test_grad_flows_through_compositing():
     g = np.asarray(jax.grad(f)(raw))
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0
+
+
+def test_raw2outputs_merged_matches_permuted():
+    """raw2outputs_merged(raw_cat, z_cat, P) == raw2outputs(P-sorted
+    raw, sorted z) — the scalar-permute merge is exactly the reference's
+    sort-then-composite (raycasters.py:796-812 + nerf.py:150-205)."""
+    rng = np.random.RandomState(3)
+    R, K = 6, 12
+    raw_cat = jnp.asarray(rng.normal(size=(R, K, 4)).astype(np.float32))
+    z_cat = jnp.asarray(rng.uniform(1., 2., (R, K)).astype(np.float32))
+    rays_d = jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32))
+    ranks = jnp.argsort(jnp.argsort(z_cat, axis=-1), axis=-1)
+    P = jax.nn.one_hot(ranks, K, dtype=jnp.float32)
+    noise = jnp.asarray(rng.normal(size=(R, K)).astype(np.float32)) * 0.1
+
+    got = compositing.raw2outputs_merged(raw_cat, z_cat, P, rays_d,
+                                         noise=noise)
+
+    perm = jnp.argsort(z_cat, axis=-1)
+    raw_sorted = jnp.take_along_axis(raw_cat, perm[..., None], axis=1)
+    z_sorted = jnp.take_along_axis(z_cat, perm, axis=1)
+    ref = compositing.raw2outputs(raw_sorted, z_sorted, rays_d,
+                                  noise=noise)
+
+    for k in ('rgb_map', 'disp_map', 'acc_map', 'depth_map', 'weights',
+              'alpha'):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   rtol=2e-6, atol=2e-6, err_msg=k)
+
+    # gradients must flow to the unsorted raw and depths identically
+    def loss_merged(raw_cat, z_cat):
+        o = compositing.raw2outputs_merged(raw_cat, z_cat, P, rays_d,
+                                           noise=noise)
+        return o['rgb_map'].sum() + o['disp_map'].sum()
+
+    def loss_ref(raw_cat, z_cat):
+        raw_s = jnp.take_along_axis(raw_cat, perm[..., None], axis=1)
+        z_s = jnp.take_along_axis(z_cat, perm, axis=1)
+        o = compositing.raw2outputs(raw_s, z_s, rays_d, noise=noise)
+        return o['rgb_map'].sum() + o['disp_map'].sum()
+
+    ga = jax.grad(loss_merged, argnums=(0, 1))(raw_cat, z_cat)
+    gb = jax.grad(loss_ref, argnums=(0, 1))(raw_cat, z_cat)
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
