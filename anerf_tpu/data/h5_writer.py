@@ -1,8 +1,16 @@
 """H5 dataset writer + synthetic dataset generator.
 
-``write_to_h5py`` mirrors the reference's schema and chunking strategy
-(core/process_spin.py:234-296): images flattened to (N, H*W, C) with
-small chunk sizes so random pixel gathers are fast, gzip compressed.
+``write_to_h5py`` mirrors the reference's schema
+(core/process_spin.py:234-296): images flattened to (N, H*W, C).  The
+STORAGE layout diverges deliberately: the reference gzip-compresses
+small chunks and pays h5py's point-selection machinery on every pixel
+gather (~40 ms/2048-pixel batch at 512x512, measured); we default to
+CONTIGUOUS UNCOMPRESSED image datasets so the loader can np.memmap the
+raw bytes and gather through the page cache (~0.05 ms — the TPU step is
+~19 ms, so the compressed layout makes real-resolution training
+host-bound).  ``img_layout='chunked'`` restores the reference-style
+gzip layout for disk-constrained setups; the reader handles both (plus
+third-party files) via a full-row-read fallback.
 
 ``make_synthetic_h5`` renders a procedural articulated scene into that
 schema so the full train/render path can be exercised (and golden-
@@ -26,8 +34,14 @@ IMG_KEYS = ('imgs', 'masks', 'sampling_masks', 'bkgds')
 
 def write_to_h5py(h5_path: str, data: Dict[str, np.ndarray],
                   img_chunk_size: int = 64,
-                  compression: Optional[str] = 'gzip') -> None:
-    """Write a dataset dict to h5 with per-pixel-gather-friendly chunks."""
+                  compression: Optional[str] = 'gzip',
+                  img_layout: str = 'contiguous') -> None:
+    """Write a dataset dict to h5.
+
+    ``img_layout='contiguous'`` (default) stores image datasets
+    contiguous + uncompressed so ``BaseH5Dataset`` can memory-map them;
+    ``'chunked'`` stores reference-style gzip chunks (module docstring
+    has the measured trade-off)."""
     os.makedirs(os.path.dirname(h5_path) or '.', exist_ok=True)
     img_shape = None
     if 'imgs' in data:
@@ -41,10 +55,14 @@ def write_to_h5py(h5_path: str, data: Dict[str, np.ndarray],
             if k in IMG_KEYS and v.ndim == 4:
                 n, h, w, c = v.shape
                 flat = v.reshape(n, h * w, c)
-                f.create_dataset(
-                    k, data=flat,
-                    chunks=(1, min(img_chunk_size * img_chunk_size, h * w), c),
-                    compression=compression)
+                if img_layout == 'contiguous':
+                    f.create_dataset(k, data=flat)
+                else:
+                    f.create_dataset(
+                        k, data=flat,
+                        chunks=(1, min(img_chunk_size * img_chunk_size,
+                                       h * w), c),
+                        compression=compression)
             else:
                 f.create_dataset(k, data=v, compression=(
                     compression if v.ndim > 0 and v.size > 64 else None))
@@ -56,7 +74,8 @@ def make_synthetic_h5(h5_path: str, n_frames: int = 6, n_cams: int = 1,
                       H: int = 32, W: int = 32, ext_scale: float = 0.001,
                       seed: int = 0, layout: str = 'frames',
                       body_scale: float = 2.2,
-                      blob_radius: int = 1) -> str:
+                      blob_radius: int = 1,
+                      img_layout: str = 'contiguous') -> str:
     """A tiny procedural dataset in the reference schema.
 
     ``layout='surreal'`` arranges images as (N_cams, N_kps) like
@@ -142,5 +161,5 @@ def make_synthetic_h5(h5_path: str, n_frames: int = 6, n_cams: int = 1,
         'img_paths': img_paths,
         'ext_scale': np.float32(ext_scale),
     }
-    write_to_h5py(h5_path, data)
+    write_to_h5py(h5_path, data, img_layout=img_layout)
     return h5_path

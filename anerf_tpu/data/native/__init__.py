@@ -1,0 +1,110 @@
+"""ctypes bindings for the native data-loader core (gather.cc).
+
+The shared library is built on first use with the system g++ (one ~1 s
+compile, atomically cached next to this file); every entry point has a
+pure-numpy fallback so the loader works on hosts without a toolchain.
+``ANERF_NO_NATIVE=1`` forces the fallback (used by the parity tests).
+
+This is the native half of the data layer — the analog of the torch
+DataLoader's C++ worker machinery the reference leans on
+(reference core/load_data.py:71-84); the Python half (sampling policy,
+collate, threading) stays in data/dataset.py + data/pipeline.py.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, 'gather.cc')
+_SO = os.path.join(_HERE, f'_loader_{sys.platform}.so')
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    """Compile gather.cc -> _loader.so atomically (safe under
+    concurrent workers: build to a temp name, os.replace into place)."""
+    fd, tmp = tempfile.mkstemp(suffix='.so', dir=_HERE)
+    os.close(fd)
+    try:
+        subprocess.run(
+            ['g++', '-O3', '-fopenmp', '-shared', '-fPIC', _SRC, '-o', tmp],
+            check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
+        return True
+    except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        return False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get('ANERF_NO_NATIVE'):
+        return None
+    if not os.path.exists(_SO) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.gather_u8_f32.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_float, ctypes.c_void_p]
+    lib.gather_u8_f32.restype = None
+    lib.nonzero_u8.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                               ctypes.c_void_p]
+    lib.nonzero_u8.restype = ctypes.c_int64
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def gather_f32(row: np.ndarray, idxs: np.ndarray,
+               scale: float = 1.0) -> np.ndarray:
+    """``row[idxs].astype(float32) * scale`` in one fused pass.
+
+    ``row``: (HW, C) pixel rows (uint8 fast path; any dtype via the
+    numpy fallback), e.g. a memmap view from BaseH5Dataset._read_row.
+    """
+    row = np.asarray(row)
+    lib = _load()
+    if (lib is None or row.dtype != np.uint8
+            or not row.flags['C_CONTIGUOUS'] or row.ndim != 2):
+        out = row[idxs].astype(np.float32)
+        if scale != 1.0:
+            out *= np.float32(scale)
+        return out
+    idxs = np.ascontiguousarray(idxs, dtype=np.int64)
+    n, c = len(idxs), row.shape[1]
+    out = np.empty((n, c), np.float32)
+    lib.gather_u8_f32(row.ctypes.data, idxs.ctypes.data, n, c,
+                      ctypes.c_float(scale), out.ctypes.data)
+    return out
+
+
+def nonzero(mask: np.ndarray) -> np.ndarray:
+    """Indices of nonzero entries of a flat mask (np.where analog)."""
+    mask = np.asarray(mask).reshape(-1)
+    lib = _load()
+    if lib is None or mask.dtype != np.uint8 \
+            or not mask.flags['C_CONTIGUOUS']:
+        return np.where(mask > 0)[0]
+    out = np.empty(mask.shape[0], np.int64)
+    k = lib.nonzero_u8(mask.ctypes.data, mask.shape[0], out.ctypes.data)
+    return out[:k]
