@@ -40,6 +40,20 @@ class BaseH5Dataset:
         self.split = split
         self.dataset = None  # lazy h5 handle (one per worker thread)
         self._mmaps = {}
+        # sampling_masks are static per run, so each image's valid-pixel
+        # index list is computed once and reused (the mask scan is the
+        # single largest per-image cost at image_batching recipes —
+        # 0.21 ms of a 0.56 ms get_item, scripts/bench_loader.py).
+        # FIFO-capped: 1024 entries ≈ 160 MB worst-case at 512².
+        self._valid_cache: Dict[int, np.ndarray] = {}
+        self._valid_cache_max = 1024
+        # When the trainer drives pose from the optimized pose BANK
+        # (training.trainer.get_batch_pose, opt_pose path), the per-ray
+        # kps/skts/bones the reference ships in every batch
+        # (dataset.py:57-105) are dead weight — ~13 MB/step of
+        # host->device traffic at N_rand=2048.  run_train flips this
+        # off via set_pose_per_ray().
+        self.pose_per_ray = True
         self.subject = subject
         self.mask_img = mask_img
         self.multiview = multiview
@@ -99,6 +113,25 @@ class BaseH5Dataset:
             mm[k] = np.memmap(self.h5_path, mode='r', dtype=d.dtype,
                               offset=off, shape=d.shape)
         return mm
+
+    def _valid_pixels(self, idx: int) -> np.ndarray:
+        """Cached valid-pixel indices of one image's sampling mask
+        (static per run; FIFO-capped cache, see __init__)."""
+        v = self._valid_cache.get(idx)
+        if v is None:
+            from . import native
+            sm = np.asarray(
+                self._read_row('sampling_masks', idx)).reshape(-1)
+            v = native.nonzero(sm)
+            v = v.astype(np.int32) if len(v) else \
+                np.arange(sm.shape[0], dtype=np.int32)
+            if len(self._valid_cache) >= self._valid_cache_max:
+                try:  # concurrent workers may race the eviction
+                    self._valid_cache.pop(next(iter(self._valid_cache)))
+                except (KeyError, StopIteration):
+                    pass
+            self._valid_cache[idx] = v
+        return v
 
     def _read_row(self, key: str, idx: int) -> np.ndarray:
         """One image's flattened pixel row: memmap view when the file
@@ -192,7 +225,7 @@ class BaseH5Dataset:
         c2w, focal, center, cam_idxs = self.get_camera_data(
             idx, q_idx, self.N_samples)
         kp_idxs, kps, bones, skts, cyls = self.get_pose_data(
-            idx, q_idx, self.N_samples)
+            idx, q_idx, self.N_samples, full=self.pose_per_ray)
         pixel_idxs = self.sample_pixels(idx, q_idx, rng,
                                         host_slice=host_slice)
         rays_o, rays_d = self.get_rays(c2w, focal, pixel_idxs, center)
@@ -202,9 +235,11 @@ class BaseH5Dataset:
                'rays_d': rays_d.astype(np.float32),
                'target_s': rays_rgb,
                'kp_idx': kp_idxs.astype(np.int64),
-               'kp3d': kps, 'bones': bones, 'skts': skts, 'cyls': cyls,
+               'cyls': cyls,
                'cam_idxs': cam_idxs.astype(np.int64),
                'fgs': fg}
+        if self.pose_per_ray:
+            out.update({'kp3d': kps, 'bones': bones, 'skts': skts})
         if bg is not None:
             out['bgs'] = bg
         return out
@@ -246,12 +281,7 @@ class BaseH5Dataset:
         """
         p = self.patch_size
         N_rand = self.N_samples // int(p ** 2)
-        from . import native
-        sampling_mask = np.asarray(
-            self._read_row('sampling_masks', idx)).reshape(-1)
-        valid_idxs = native.nonzero(sampling_mask)
-        if len(valid_idxs) == 0:
-            valid_idxs = np.arange(sampling_mask.shape[0])
+        valid_idxs = self._valid_pixels(idx)
         pidx, pcnt = host_slice if host_slice is not None else (0, 1)
         if pcnt > 1:
             host_rng = rng.spawn(pcnt)[pidx]
@@ -280,6 +310,8 @@ class BaseH5Dataset:
         else:
             N_nms = int(self.N_nms > rng.random())
         if N_nms > 0:
+            sampling_mask = np.asarray(
+                self._read_row('sampling_masks', idx)).reshape(-1)
             nms_idxs = self._sample_in_box2d(idx, q_idx, sampling_mask,
                                              N_nms, rng)
             sampled_idxs = np.sort(sampled_idxs)
@@ -307,18 +339,22 @@ class BaseH5Dataset:
             center[1] *= -1
             dirs[..., :2] -= center
         dirs[:, :2] /= focal
-        if np.isclose(np.eye(3), c2w[:3, :3]).all():
+        R = c2w[:3, :3]
+        if R[0, 0] == 1. and R[1, 1] == 1. and R[2, 2] == 1. and \
+                (R == np.eye(3, dtype=R.dtype)).all():
             rays_d = dirs
         else:
             rays_d = np.sum(dirs[..., None, :] * c2w[:3, :3], -1)
         rays_o = np.broadcast_to(c2w[:3, -1], rays_d.shape)
         return rays_o.copy(), rays_d.copy()
 
-    def get_pose_data(self, idx, q_idx, N_samples):
+    def get_pose_data(self, idx, q_idx, N_samples, full=True):
         real_idx, kp_idx = self.get_kp_idx(idx, q_idx)
         rep = lambda x: x[real_idx:real_idx + 1].astype(np.float32).repeat(
             N_samples, 0)
         kp_idxs = np.array([kp_idx]).repeat(N_samples, 0)
+        if not full:  # pose comes from the trainer's pose bank
+            return kp_idxs, None, None, None, rep(self.cyls)
         return (kp_idxs, rep(self.kp3d), rep(self.bones), rep(self.skts),
                 rep(self.cyls))
 
@@ -422,6 +458,21 @@ class BaseH5Dataset:
             'skts': self.skts[k_idxs],
             'bones': self.bones[k_idxs],
         }
+
+
+def set_pose_per_ray(dataset, flag: bool) -> None:
+    """Toggle per-ray kps/skts/bones batch arrays on every underlying
+    BaseH5Dataset (unwraps Concat/Temporal wrappers).  run_train turns
+    them OFF when ``opt_pose`` is on: the jitted step rebuilds pose
+    from the optimized bank (trainer.get_batch_pose), so shipping them
+    costs ~13 MB/step of host->device traffic for nothing."""
+    if hasattr(dataset, 'datasets'):
+        for d in dataset.datasets:
+            set_pose_per_ray(d, flag)
+    elif hasattr(dataset, '_dataset'):
+        set_pose_per_ray(dataset._dataset, flag)
+    else:
+        dataset.pose_per_ray = flag
 
 
 class PoseRefinedDataset(BaseH5Dataset):

@@ -12,7 +12,7 @@ import h5py
 import numpy as np
 
 from .dataset import (BaseH5Dataset, ConcatH5Dataset, PoseRefinedDataset,
-                      TemporalDatasetWrapper)
+                      TemporalDatasetWrapper, set_pose_per_ray)
 from .pipeline import Prefetcher
 
 
@@ -339,6 +339,10 @@ def load_data(cfg, data_path: Optional[str] = None,
     process_index/count for multi-host training: the prefetcher then
     yields per-host ray slices of the logical global batch."""
     dataset = get_dataset(cfg, data_path, process_count=process_count)
+    if cfg.opt_pose:
+        # pose comes from the optimizer's pose bank on-device; don't
+        # assemble + ship per-ray kps/skts/bones (dataset.set_pose_per_ray)
+        set_pose_per_ray(dataset, False)
     prefetcher = Prefetcher(dataset, N_images=cfg.N_sample_images,
                             n_workers=min(cfg.num_workers, 8),
                             seed=cfg.seed, N_iter=cfg.n_iters + 10,

@@ -1,4 +1,5 @@
 """Tests for the jitted train step: convergence, pose gating, sharding."""
+import chex
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -316,3 +317,23 @@ def test_multi_train_step_sharded():
     state, stats = step(state, batches, jax.random.PRNGKey(1))
     assert int(state['step']) == 2
     assert np.isfinite(float(stats['total_loss']))
+
+
+def test_train_step_accepts_bank_pose_batch():
+    """With opt_pose, run_train ships batches WITHOUT per-ray
+    kps/skts/bones (loaders.load_data -> set_pose_per_ray: pose is
+    rebuilt from the pose bank inside the step).  The step must accept
+    the trimmed schema and match the full-schema step bit-for-bit."""
+    from anerf_tpu import testing_utils as T
+    setup, state, batch, step = T.build_flagship(
+        n_rays=32, n_frames=4, opt_pose=True, netwidth=32, netdepth=2,
+        N_samples=6, N_importance=4, multires=3, multires_views=2)
+    step = jax.jit(make_train_step(setup))
+    rng = jax.random.PRNGKey(3)
+    trimmed = {k: v for k, v in batch.items()
+               if k not in ('kps', 'skts', 'bones')}
+    s1, st1 = step(state, batch, rng)
+    s2, st2 = step(state, trimmed, rng)
+    assert float(st1['total_loss']) == float(st2['total_loss'])
+    chex.assert_trees_all_equal(s1['params'], s2['params'])
+    chex.assert_trees_all_equal(s1['pose_params'], s2['pose_params'])
