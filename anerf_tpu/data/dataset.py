@@ -244,6 +244,134 @@ class BaseH5Dataset:
             out['bgs'] = bg
         return out
 
+    def get_batch(self, q_idxs, rng: np.random.Generator,
+                  host_slice=None) -> Optional[Dict[str, np.ndarray]]:
+        """Vectorized ``[get_item(q) for q in q_idxs]`` + collate in ONE
+        numpy/native pass.
+
+        The per-image path costs ~0.115 ms of Python/numpy call overhead
+        per image (scripts/bench_loader.py) — 128 images/batch at the
+        image_batching recipe makes batch assembly 16.4 ms on a 2-core
+        host, which cannot hide behind the ~19 ms device step.  This
+        path replaces 128x~30 small numpy calls with ~30 batched ones
+        plus a native distinct-pixel draw (native.sample_distinct).
+
+        Semantics match get_item: uniform without-replacement pixel
+        draw per image from the sampling mask, multi-host
+        disjoint-by-construction slices of one global draw (one shared
+        ``N*pcnt`` distinct draw per image, host p keeps block p), rays
+        from the precomputed direction mesh.  The random *stream*
+        differs from the per-image path (one batched uniform tensor
+        instead of 128 sequential choice() calls) but is equally
+        deterministic: keyed on the prefetcher's (seed, batch_index).
+
+        Returns None for modes the vectorized path does not cover
+        (patch sampling, N_nms out-of-mask replacement) — the caller
+        falls back to the per-image path.
+        """
+        if self.patch_size > 1:
+            return None
+        if (self.N_nms > 0 if isinstance(self.N_nms, int)
+                else self.N_nms > 0.0):
+            return None
+        from . import native
+        self.init_dataset()
+        q_idxs = np.asarray(q_idxs, dtype=np.int64)
+        idxs = self._idx_map[q_idxs] if self._idx_map is not None else q_idxs
+        n_img, N = len(q_idxs), self.N_samples
+        pidx, pcnt = host_slice if host_slice is not None else (0, 1)
+
+        # --- pixel sampling: one shared global draw per image ---------
+        valid = [self._valid_pixels(int(i)) for i in idxs]
+        lens = np.array([len(v) for v in valid], np.int64)
+        n_draw = N * pcnt
+        u = rng.random((n_img, n_draw))  # identical on every host
+        ok = lens >= n_draw
+        pix = np.empty((n_img, N), np.int64)
+        if ok.all():
+            drawn = native.sample_distinct(valid, u)
+            pix[:] = drawn[:, pidx * N:(pidx + 1) * N]
+        else:
+            if ok.any():
+                rows = np.where(ok)[0]
+                drawn = native.sample_distinct(
+                    [valid[r] for r in rows], u[rows])
+                pix[rows] = drawn[:, pidx * N:(pidx + 1) * N]
+            # too few distinct pixels to partition: per-host fallback
+            # stream, same rule as sample_pixels (collisions possible)
+            host_rng = rng.spawn(pcnt)[pidx] if pcnt > 1 else rng
+            for r in np.where(~ok)[0]:
+                v = valid[r]
+                pix[r] = host_rng.choice(v, N, replace=len(v) < N)
+        pix.sort(axis=1)
+
+        # --- camera + rays (batched get_rays) --------------------------
+        c_real, cam_idx = self.get_cam_idx(idxs, q_idxs)
+        c_real = np.asarray(c_real, np.int64)
+        c2ws = self.c2ws[c_real].astype(np.float32)       # (B, 4, 4)
+        focals = np.asarray(self.focals)[c_real].astype(np.float32) \
+            if not np.isscalar(self.focals) else \
+            np.full(n_img, self.focals, np.float32)
+        dirs = self._dirs[pix]                            # (B, N, 3)
+        if self.centers is not None:
+            ctr = self.centers[c_real].astype(np.float32).copy()
+            ctr[:, 1] *= -1
+            dirs = dirs - np.concatenate(
+                [ctr, np.zeros((n_img, 1), np.float32)], -1)[:, None, :]
+        else:
+            dirs = dirs.copy()
+        dirs[..., :2] /= focals[:, None, None]
+        rays_d = np.einsum('bnj,bij->bni', dirs, c2ws[:, :3, :3])
+        rays_o = np.broadcast_to(c2ws[:, None, :3, -1], rays_d.shape)
+
+        # --- image data (batched pixel gather) -------------------------
+        rgb = self._gather_pixels('imgs', idxs, pix, scale=1. / 255.)
+        fg = self._gather_pixels('masks', idxs, pix)
+        bg = None
+        if self.has_bg:
+            bg = self.bgs[self.bg_idxs[idxs][:, None],
+                          pix].astype(np.float32) / 255.
+            if self.mask_img:
+                rgb = rgb * fg + (1. - fg) * bg
+
+        # --- pose ------------------------------------------------------
+        k_real, kp_idx = self.get_kp_idx(idxs, q_idxs)
+        k_real = np.asarray(k_real, np.int64)
+        rep = lambda x: np.repeat(x[k_real].astype(np.float32), N, axis=0)
+        flat = lambda x: np.ascontiguousarray(x).reshape(
+            (n_img * N,) + x.shape[2:])
+
+        out = {'rays_o': flat(rays_o).astype(np.float32),
+               'rays_d': flat(rays_d).astype(np.float32),
+               'target_s': flat(rgb),
+               'kp_idx': np.repeat(np.asarray(kp_idx, np.int64), N).astype(
+                   np.int32),
+               'cyls': rep(self.cyls),
+               'cam_idxs': np.repeat(np.asarray(cam_idx, np.int64), N).astype(
+                   np.int32),
+               'fgs': flat(fg)}
+        if self.pose_per_ray:
+            out.update({'kps': rep(self.kp3d), 'bones': rep(self.bones),
+                        'skts': rep(self.skts)})
+        if bg is not None:
+            out['bgs'] = flat(bg)
+        return out
+
+    def _gather_pixels(self, key: str, idxs: np.ndarray,
+                       pix: np.ndarray, scale: float = 1.0) -> np.ndarray:
+        """(B, N, C) float32 gather of per-image pixels: one fancy-index
+        pass on the memmap layout, per-row reads on chunked files."""
+        mm = self._mmaps.get(key)
+        if mm is not None:
+            out = mm[idxs[:, None], pix].astype(np.float32)
+            if scale != 1.0:
+                out *= np.float32(scale)
+            return out
+        from . import native
+        return np.stack([native.gather_f32(self._read_row(key, int(i)),
+                                           p, scale=scale)
+                         for i, p in zip(idxs, pix)])
+
     def get_camera_data(self, idx, q_idx, N_samples):
         real_idx, cam_idx = self.get_cam_idx(idx, q_idx)
         focal = self.focals[real_idx]
@@ -528,6 +656,37 @@ class ConcatH5Dataset:
             len(ret['cam_idxs']), 0)
         return ret
 
+    def get_batch(self, q_idxs, rng=None, host_slice=None):
+        """Vectorized multi-subject batch: q_idxs arrive sorted, so the
+        per-sub-dataset groups are contiguous slices; each group goes
+        through its dataset's batched path, then cam/kp offsets and
+        subject_idxs are applied to the concatenated result."""
+        q_idxs = np.asarray(q_idxs, dtype=np.int64)
+        d_idxs = np.searchsorted(self.cumulative_sizes, q_idxs, side='right')
+        parts = []
+        for d in np.unique(d_idxs):
+            sel = q_idxs[d_idxs == d]
+            base = 0 if d == 0 else self.cumulative_sizes[d - 1]
+            gb = getattr(self.datasets[d], 'get_batch', None)
+            part = gb(sel - base, rng, host_slice=host_slice) \
+                if gb is not None else None
+            if part is None:
+                return None
+            if d != 0:
+                part['cam_idxs'] = (part['cam_idxs']
+                                    + self.cumulative_views[d - 1]).astype(
+                                        np.int32)
+                part['kp_idx'] = (part['kp_idx']
+                                  + self.cumulative_kps[d - 1]).astype(
+                                      np.int32)
+            part['subject_idxs'] = np.full(len(part['cam_idxs']), d,
+                                           np.int32)
+            parts.append(part)
+        if len(parts) == 1:
+            return parts[0]
+        return {k: np.concatenate([p[k] for p in parts])
+                for k in parts[0]}
+
     def get_meta(self):
         metas = [d.get_meta() for d in self.datasets]
         merged = {}
@@ -582,6 +741,19 @@ class TemporalDatasetWrapper:
         temp_val = (tv[idx] + tv[next_idx]) // 2
         ret['temp_val'] = np.repeat(np.float32(temp_val),
                                     ret['kp_idx'].shape[0], 0)
+        return ret
+
+    def get_batch(self, q_idxs, rng=None, host_slice=None):
+        gb = getattr(self._dataset, 'get_batch', None)
+        ret = gb(q_idxs, rng, host_slice=host_slice) \
+            if gb is not None else None
+        if ret is None:
+            return None
+        tv = np.asarray(self._dataset.temp_validity)
+        q = np.asarray(q_idxs, dtype=np.int64)
+        temp_val = ((tv[q] + tv[(q + 1) % len(tv)]) // 2).astype(np.float32)
+        N = ret['kp_idx'].shape[0] // len(q)
+        ret['temp_val'] = np.repeat(temp_val, N)
         return ret
 
     def get_meta(self):

@@ -58,8 +58,14 @@ def _load():
         return None
     try:
         lib = ctypes.CDLL(_SO)
-    except OSError:
-        return None
+        lib.sample_distinct  # stale cached build? -> recompile
+    except (OSError, AttributeError):
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
     lib.gather_u8_f32.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_float, ctypes.c_void_p]
@@ -67,6 +73,10 @@ def _load():
     lib.nonzero_u8.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                ctypes.c_void_p]
     lib.nonzero_u8.restype = ctypes.c_int64
+    lib.sample_distinct.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+    lib.sample_distinct.restype = None
     _lib = lib
     return _lib
 
@@ -95,6 +105,34 @@ def gather_f32(row: np.ndarray, idxs: np.ndarray,
     out = np.empty((n, c), np.float32)
     lib.gather_u8_f32(row.ctypes.data, idxs.ctypes.data, n, c,
                       ctypes.c_float(scale), out.ctypes.data)
+    return out
+
+
+def sample_distinct(valid_lists, u: np.ndarray) -> np.ndarray:
+    """Distinct draw per row: row r picks ``u.shape[1]`` distinct entries
+    of ``valid_lists[r]`` (an int32 array), uniformly without
+    replacement, driven by the uniforms ``u[r]`` (partial Fisher-Yates,
+    identical math in the native and numpy paths so the draw does not
+    depend on toolchain availability).  Returns (rows, k) int32."""
+    rows, k = u.shape
+    out = np.empty((rows, k), np.int32)
+    lens = np.array([len(v) for v in valid_lists], np.int64)
+    lib = _load()
+    if lib is not None and all(
+            v.dtype == np.int32 and v.flags['C_CONTIGUOUS']
+            for v in valid_lists):
+        ptrs = (ctypes.c_void_p * rows)(
+            *[v.ctypes.data for v in valid_lists])
+        u = np.ascontiguousarray(u, dtype=np.float64)
+        lib.sample_distinct(ptrs, lens.ctypes.data, u.ctypes.data,
+                            rows, k, out.ctypes.data)
+        return out
+    for r in range(rows):
+        v, L, swap = valid_lists[r], int(lens[r]), {}
+        for i in range(k):
+            j = min(i + int(u[r, i] * (L - i)), L - 1)
+            out[r, i] = v[swap.get(j, j)]
+            swap[j] = swap.get(i, i)
     return out
 
 

@@ -11,6 +11,7 @@
 //
 // Build: scripts/build_native.py (g++ -O3 -fopenmp -shared -fPIC).
 #include <cstdint>
+#include <unordered_map>
 
 extern "C" {
 
@@ -32,6 +33,40 @@ int64_t nonzero_u8(const uint8_t* mask, int64_t n, int64_t* out) {
     if (mask[i]) out[k++] = i;
   }
   return k;
+}
+
+// Batched distinct draw: for each row r, pick k distinct positions from
+// [0, lens[r]) by a virtual partial Fisher-Yates (hash map stands in
+// for the length-L permutation array, so cost is O(k) per row, not
+// O(L)), driven by caller-supplied uniforms u[r*k .. r*k+k) so the
+// draw is reproducible from a numpy Generator.  Output values are
+// mapped through the row's valid-pixel list valid[r].  Rows of a batch
+// are independent -> OpenMP across rows.  This is the vectorized core
+// of BaseH5Dataset.get_batch (per-image rng.choice(replace=False) is
+// ~0.1 ms of Python/numpy overhead per image; 128 images/batch).
+// Deliberately single-threaded: the whole batch is ~2k hash-map ops
+// (~0.05 ms); a GOMP parallel region costs ~8 ms on a 2-core host
+// (measured) — 150x the work itself.
+void sample_distinct(const int32_t* const* valid, const int64_t* lens,
+                     const double* u, int64_t rows, int64_t k,
+                     int32_t* out) {
+  for (int64_t r = 0; r < rows; ++r) {
+    std::unordered_map<int64_t, int64_t> swap;
+    swap.reserve(2 * k);
+    const int64_t L = lens[r];
+    const double* ur = u + r * k;
+    int32_t* dst = out + r * k;
+    for (int64_t i = 0; i < k; ++i) {
+      int64_t j = i + static_cast<int64_t>(ur[i] * static_cast<double>(L - i));
+      if (j >= L) j = L - 1;  // guard u == 1.0 edge
+      auto it_j = swap.find(j);
+      int64_t pick = (it_j == swap.end()) ? j : it_j->second;
+      auto it_i = swap.find(i);
+      int64_t vi = (it_i == swap.end()) ? i : it_i->second;
+      swap[j] = vi;
+      dst[i] = valid[r][pick];
+    }
+  }
 }
 
 }  // extern "C"

@@ -144,14 +144,22 @@ class Prefetcher:
             rng = np.random.default_rng([self.seed, i])
             hs = (self.process_index, self.process_count)
             try:
-                items = [self.dataset.get_item(int(idx), rng,
-                                               host_slice=hs)
-                         for idx in idxs]
+                # vectorized whole-batch assembly when the dataset/mode
+                # supports it (dataset.get_batch); per-image fallback
+                # for patch/NMS sampling modes
+                gb = getattr(self.dataset, 'get_batch', None)
+                batch = gb(idxs, rng, host_slice=hs) \
+                    if gb is not None else None
+                if batch is None:
+                    items = [self.dataset.get_item(int(idx), rng,
+                                                   host_slice=hs)
+                             for idx in idxs]
+                    batch = ray_collate(items)
             except Exception:
                 if self._stop.is_set():     # dataset torn down at shutdown
                     return
                 raise
-            self._put(self.q, (i, ray_collate(items)))
+            self._put(self.q, (i, batch))
 
     def start(self):
         if self._started:

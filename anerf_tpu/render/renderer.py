@@ -98,20 +98,23 @@ class ImageRenderer:
         ro = np.concatenate([rays_o, np.repeat(rays_o[-1:], pad, 0)], 0)
         rd = np.concatenate([rays_d, np.repeat(rays_d[-1:], pad, 0)], 0)
 
-        outs = {k: [] for k in ('rgb_map', 'disp_map', 'acc_map')}
-        for s in range(0, n_pad, C):
-            pose = {
-                'kps': jnp.broadcast_to(jnp.asarray(kp), (C, 24, 3)),
-                'skts': jnp.broadcast_to(jnp.asarray(skt), (C, 24, 4, 4)),
-                'bones': jnp.broadcast_to(jnp.asarray(bone), (C,) +
-                                          tuple(bone.shape[-2:])),
-                'cyls': jnp.broadcast_to(jnp.asarray(cyl), (C, 5)),
-            }
-            cam = jnp.full((C,), cam_idx, jnp.int32)
-            ret = self._chunk_fn(self.params, jnp.asarray(ro[s:s + C]),
-                                 jnp.asarray(rd[s:s + C]), pose, cam)
-            for k in outs:
-                outs[k].append(np.asarray(ret[k]))
+        pose = {
+            'kps': jnp.broadcast_to(jnp.asarray(kp), (C, 24, 3)),
+            'skts': jnp.broadcast_to(jnp.asarray(skt), (C, 24, 4, 4)),
+            'bones': jnp.broadcast_to(jnp.asarray(bone), (C,) +
+                                      tuple(bone.shape[-2:])),
+            'cyls': jnp.broadcast_to(jnp.asarray(cyl), (C, 5)),
+        }
+        cam = jnp.full((C,), cam_idx, jnp.int32)
+        # two phases: dispatch every chunk asynchronously, THEN fetch.
+        # Fetching inside the dispatch loop would sync on each chunk
+        # (one device round-trip per chunk, 128 chunks per 512^2 frame)
+        # and stall the next chunk's launch behind it.
+        rets = [self._chunk_fn(self.params, jnp.asarray(ro[s:s + C]),
+                               jnp.asarray(rd[s:s + C]), pose, cam)
+                for s in range(0, n_pad, C)]
+        outs = {k: [np.asarray(r[k]) for r in rets]
+                for k in ('rgb_map', 'disp_map', 'acc_map')}
         return {k: np.concatenate(v)[:n] for k, v in outs.items()}
 
     def render_image(self, H: int, W: int, focal, c2w,

@@ -17,6 +17,7 @@ of the MLP MACs — see model_flops_per_ray), ``eval_rays_per_sec``
 (fwd-only ImageRenderer chunk path).
 """
 import json
+import os
 import time
 
 # the reference's per-iteration work at the SURREAL recipe on a single
@@ -136,6 +137,25 @@ def main():
     dt_ev = time.perf_counter() - t0
     eval_rays_per_sec = n_rays * n_ev / dt_ev
 
+    # --- sustained end-to-end run_train at 512^2 (host pipeline incl.)
+    # Subprocess so its jax session is independent; tolerant: the
+    # headline metric above never depends on it.
+    sustained = None
+    if os.environ.get('ANERF_BENCH_SUSTAINED', '1') != '0':
+        import subprocess
+        import sys
+        try:
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              'scripts', 'bench_sustained.py'),
+                 '--steps', '300', '--i_print', '50'],
+                capture_output=True, text=True, timeout=600)
+            sustained = json.loads(
+                out.stdout.strip().splitlines()[-1])['value']
+        except Exception:
+            sustained = None
+
     print(json.dumps({
         'metric': 'train_rays_per_sec',
         'value': round(rays_per_sec, 1),
@@ -145,6 +165,7 @@ def main():
         'mfu': mfu,
         'model_tflops_per_sec': round(achieved / 1e12, 1),
         'eval_rays_per_sec': round(eval_rays_per_sec, 1),
+        'sustained_e2e_rays_per_sec': sustained,
         'steps_per_dispatch': spd,
         'device_kind': kind,
     }))

@@ -69,6 +69,25 @@ def main():
 
     res['speedup_vs_point_selection'] = round(
         res['h5py_point_selection_ms'] / res['contiguous_mmap_native_ms'], 1)
+
+    # image_batching recipe (the opt_pose config: 128 images x 16 rays
+    # per batch): per-image assembly vs the vectorized dataset.get_batch
+    from anerf_tpu.data.pipeline import ray_collate
+    n_img = 128
+    ds = BaseH5Dataset(cont, N_samples=max(1, args.n_rand // n_img))
+    ds.pose_per_ray = False     # run_train's opt_pose batch schema
+    r = np.random.default_rng(0)
+
+    def batch_idxs(i):
+        return np.sort(np.random.default_rng(i).choice(n, n_img))
+
+    res['image_batching_per_item_ms'] = round(timeit(
+        lambda i: ray_collate([ds.get_item(int(q), rng=r)
+                               for q in batch_idxs(i)]), iters=10), 2)
+    res['image_batching_get_batch_ms'] = round(timeit(
+        lambda i: ds.get_batch(batch_idxs(i), rng=r), iters=10), 2)
+    res['get_batch_speedup'] = round(res['image_batching_per_item_ms']
+                                     / res['image_batching_get_batch_ms'], 1)
     print(json.dumps(res))
 
 

@@ -145,7 +145,13 @@ def load_reference():
     """Import and return the reference core package modules."""
     install_stubs()
     if REF_PATH not in sys.path:
-        sys.path.insert(0, REF_PATH)
+        # APPEND, not insert(0): the reference tree has a top-level
+        # run_render.py that would otherwise shadow the repo's
+        # run_render for tests that import it later in the session
+        # (test_e2e after test_render_path_oracle).  The reference's
+        # own modules (core.*, run_nerf) have unique names and resolve
+        # fine from the end of the path.
+        sys.path.append(REF_PATH)
     import core.raycasters as raycasters
     import core.pose_opt as pose_opt
     import core.cutoff_embedder as cutoff_embedder

@@ -249,3 +249,107 @@ def test_get_item_with_tiny_sampling_mask(tmp_path):
     assert item['target_s'].shape == (16, 3)
     # all sampled pixels come from the 5 valid ones (duplicates allowed)
     assert len({bytes(r) for r in item['rays_d']}) <= 5
+
+
+# --- vectorized batch assembly (dataset.get_batch) -----------------------
+
+def test_get_batch_matches_item_schema(h5_path):
+    """get_batch = vectorized [get_item]*collate: identical keys,
+    shapes, dtypes; every sampled pixel valid under the mask; rays
+    consistent with a per-item rebuild for the same pixel ids."""
+    ds = BaseH5Dataset(h5_path, N_samples=8)
+    idxs = np.array([1, 3, 4, 5])
+    batch = ds.get_batch(idxs, np.random.default_rng(5))
+    items = [ds.get_item(int(i), np.random.default_rng(5)) for i in idxs]
+    ref = ray_collate(items)
+    assert sorted(batch.keys()) == sorted(ref.keys())
+    for k in ref:
+        assert batch[k].shape == ref[k].shape, k
+        assert batch[k].dtype == ref[k].dtype, k
+    # frame schedule identical (pixels differ: different rng stream)
+    np.testing.assert_array_equal(batch['kp_idx'], ref['kp_idx'])
+    np.testing.assert_array_equal(batch['cam_idxs'], ref['cam_idxs'])
+    np.testing.assert_array_equal(batch['kps'], ref['kps'])
+    np.testing.assert_array_equal(batch['skts'], ref['skts'])
+    # recover each ray's pixel and cross-check rgb/fg/rays against a
+    # direct per-pixel rebuild
+    ds.init_dataset()
+    H, W = ds.HW
+    for b, q in enumerate(idxs):
+        sl = slice(b * 8, (b + 1) * 8)
+        dirs = batch['rays_d'][sl]
+        # pixel id from the direction mesh (c2w here may rotate; invert)
+        R = ds.c2ws[q][:3, :3]
+        local = dirs @ np.linalg.inv(R.T).astype(np.float32)
+        fo = ds.focals[q] if not np.isscalar(ds.focals) else ds.focals
+        i = np.round(local[:, 0] * fo + W * 0.5).astype(int)
+        j = np.round(-local[:, 1] * fo + H * 0.5).astype(int)
+        pix = j * W + i
+        sm = np.asarray(ds.dataset['sampling_masks'][q]).reshape(-1)
+        assert (sm[pix] > 0).all(), 'sampled pixel outside mask'
+        img = np.asarray(ds.dataset['imgs'][q]).reshape(-1, 3)
+        np.testing.assert_allclose(batch['target_s'][sl],
+                                   img[pix].astype(np.float32) / 255.,
+                                   atol=1e-6)
+        assert (np.diff(pix) > 0).all(), 'pixels not sorted/distinct'
+
+
+def test_get_batch_multihost_partition(h5_path):
+    """Host blocks of get_batch partition one shared global draw:
+    disjoint across hosts, identical frame schedule."""
+    ds = BaseH5Dataset(h5_path, N_samples=8)
+    idxs = np.array([0, 2, 5])
+    b0 = ds.get_batch(idxs, np.random.default_rng(9), host_slice=(0, 2))
+    b1 = ds.get_batch(idxs, np.random.default_rng(9), host_slice=(1, 2))
+    np.testing.assert_array_equal(b0['kp_idx'], b1['kp_idx'])
+    for s in range(0, 24, 8):
+        r0 = {bytes(r) for r in b0['rays_d'][s:s + 8]}
+        r1 = {bytes(r) for r in b1['rays_d'][s:s + 8]}
+        assert not (r0 & r1), 'hosts sampled overlapping pixels'
+
+
+def test_get_batch_falls_back_for_patch_and_nms(h5_path):
+    assert BaseH5Dataset(h5_path, N_samples=16, patch_size=2).get_batch(
+        np.array([0]), np.random.default_rng(0)) is None
+    assert BaseH5Dataset(h5_path, N_samples=16, N_nms=2).get_batch(
+        np.array([0]), np.random.default_rng(0)) is None
+
+
+def test_get_batch_tiny_mask_fallback(tmp_path):
+    """Images with fewer valid pixels than the draw fall back to a
+    per-host with-replacement stream, still inside the mask."""
+    import h5py
+    p = make_synthetic_h5(str(tmp_path / 't.h5'), n_frames=3, H=16, W=16)
+    with h5py.File(p, 'r+') as f:
+        sm = np.zeros_like(f['sampling_masks'][:])
+        sm[:, :5] = 1
+        f['sampling_masks'][...] = sm
+    ds = BaseH5Dataset(p, N_samples=16)
+    batch = ds.get_batch(np.array([0, 1]), np.random.default_rng(0))
+    assert batch['rays_o'].shape == (32, 3)
+    assert np.isfinite(batch['target_s']).all()
+
+
+def test_sample_distinct_native_matches_numpy():
+    """The native partial Fisher-Yates draw is bit-identical to the
+    numpy fallback and uniform-without-replacement."""
+    from anerf_tpu.data import native
+    rng = np.random.default_rng(3)
+    valid = [np.sort(rng.choice(500, size=L, replace=False)).astype(np.int32)
+             for L in (40, 200, 17)]
+    u = rng.random((3, 16))
+    out = native.sample_distinct(valid, u)
+    # distinct within each row, all from the row's valid list
+    for r in range(3):
+        assert len(set(out[r].tolist())) == 16
+        assert set(out[r].tolist()) <= set(valid[r].tolist())
+    if native.available():
+        os.environ['ANERF_NO_NATIVE'] = '1'
+        try:
+            import importlib
+            importlib.reload(native)
+            out_py = native.sample_distinct(valid, u)
+        finally:
+            del os.environ['ANERF_NO_NATIVE']
+            importlib.reload(native)
+        np.testing.assert_array_equal(out, out_py)
