@@ -274,6 +274,13 @@ class BaseH5Dataset:
         if (self.N_nms > 0 if isinstance(self.N_nms, int)
                 else self.N_nms > 0.0):
             return None
+        # a subclass that customizes the per-item hooks must get the
+        # per-item path, not this vectorized bypass of those hooks
+        cls = type(self)
+        if (cls.sample_pixels is not BaseH5Dataset.sample_pixels
+                or cls.get_rays is not BaseH5Dataset.get_rays
+                or cls.get_img_data is not BaseH5Dataset.get_img_data):
+            return None
         from . import native
         self.init_dataset()
         q_idxs = np.asarray(q_idxs, dtype=np.int64)
@@ -662,6 +669,11 @@ class ConcatH5Dataset:
         through its dataset's batched path, then cam/kp offsets and
         subject_idxs are applied to the concatenated result."""
         q_idxs = np.asarray(q_idxs, dtype=np.int64)
+        # grouping by subject + concatenating only preserves row order
+        # for sorted q_idxs (RayImageSampler always yields sorted
+        # batches); an unsorted caller would get silently permuted rows
+        assert (np.diff(q_idxs) >= 0).all(), \
+            'ConcatH5Dataset.get_batch requires sorted q_idxs'
         d_idxs = np.searchsorted(self.cumulative_sizes, q_idxs, side='right')
         parts = []
         for d in np.unique(d_idxs):

@@ -28,23 +28,30 @@ _lib = None
 _tried = False
 
 
-def _build() -> bool:
-    """Compile gather.cc -> _loader.so atomically (safe under
-    concurrent workers: build to a temp name, os.replace into place)."""
+def _build():
+    """Compile gather.cc and return a CDLL handle, or None.
+
+    Builds to a unique temp name and dlopens THAT path: dlopen caches
+    handles by pathname (and ctypes never dlcloses), so reloading a
+    rebuilt library at the old ``_SO`` path would silently return the
+    stale pre-rebuild handle.  The temp build is then os.replace()d
+    into ``_SO`` so later processes skip the compile (atomic — safe
+    under concurrent workers)."""
     fd, tmp = tempfile.mkstemp(suffix='.so', dir=_HERE)
     os.close(fd)
     try:
         subprocess.run(
             ['g++', '-O3', '-fopenmp', '-shared', '-fPIC', _SRC, '-o', tmp],
             check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(tmp)
         os.replace(tmp, _SO)
-        return True
+        return lib
     except Exception:
         try:
             os.unlink(tmp)
         except OSError:
             pass
-        return False
+        return None
 
 
 def _load():
@@ -54,18 +61,16 @@ def _load():
     _tried = True
     if os.environ.get('ANERF_NO_NATIVE'):
         return None
-    if not os.path.exists(_SO) and not _build():
-        return None
-    try:
-        lib = ctypes.CDLL(_SO)
-        lib.sample_distinct  # stale cached build? -> recompile
-    except (OSError, AttributeError):
-        if not _build():
-            return None
+    lib = None
+    if os.path.exists(_SO):
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:
-            return None
+            lib = None
+    if lib is None or not hasattr(lib, 'sample_distinct'):
+        lib = _build()  # stale/missing cached build -> fresh-path handle
+    if lib is None or not hasattr(lib, 'sample_distinct'):
+        return None  # degrade to the numpy fallbacks, never raise
     lib.gather_u8_f32.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_float, ctypes.c_void_p]

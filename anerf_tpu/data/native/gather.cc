@@ -40,10 +40,10 @@ int64_t nonzero_u8(const uint8_t* mask, int64_t n, int64_t* out) {
 // for the length-L permutation array, so cost is O(k) per row, not
 // O(L)), driven by caller-supplied uniforms u[r*k .. r*k+k) so the
 // draw is reproducible from a numpy Generator.  Output values are
-// mapped through the row's valid-pixel list valid[r].  Rows of a batch
-// are independent -> OpenMP across rows.  This is the vectorized core
-// of BaseH5Dataset.get_batch (per-image rng.choice(replace=False) is
-// ~0.1 ms of Python/numpy overhead per image; 128 images/batch).
+// mapped through the row's valid-pixel list valid[r].  This is the
+// vectorized core of BaseH5Dataset.get_batch (per-image
+// rng.choice(replace=False) is ~0.1 ms of Python/numpy overhead per
+// image; 128 images/batch).
 // Deliberately single-threaded: the whole batch is ~2k hash-map ops
 // (~0.05 ms); a GOMP parallel region costs ~8 ms on a 2-core host
 // (measured) — 150x the work itself.
