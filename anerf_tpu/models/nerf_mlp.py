@@ -127,6 +127,21 @@ def framecode_lerp(codes: jnp.ndarray, idx_a, idx_b, t) -> jnp.ndarray:
     return ca + (cb - ca) * t[..., None]
 
 
+def framecode_select(codes: jnp.ndarray, cam_idxs: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """Code selection with the reference's idx-shape dispatch
+    (embedding.py:17-28): ``(R,)`` integer indices -> per-frame lookup
+    (idx < 0 -> mean code); ``(R, 3)`` float rows ``[idx_a, idx_b, w]``
+    -> two-code lerp (the interpolate-render mixing path)."""
+    cam_idxs = jnp.asarray(cam_idxs)
+    if cam_idxs.ndim == 2 and cam_idxs.shape[-1] == 3:
+        return framecode_lerp(codes,
+                              cam_idxs[..., 0].astype(jnp.int32),
+                              cam_idxs[..., 1].astype(jnp.int32),
+                              cam_idxs[..., 2])
+    return framecode_lookup(codes, cam_idxs)
+
+
 def nerf_forward(params, cfg: NeRFConfig,
                  x_pts: jnp.ndarray,
                  x_views: Optional[jnp.ndarray] = None,

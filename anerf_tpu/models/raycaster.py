@@ -169,8 +169,8 @@ def _run_network(rc: RayCastConfig, net_params, v, r, d, cam_idxs,
         # per-RAY lookup broadcast over samples: the backward collapses
         # to a sum over the sample axis + an N_rays-row scatter, vs the
         # per-point scatter-add a (R*S)-indexed lookup would cost
-        from .nerf_mlp import framecode_lookup
-        codes_ray = framecode_lookup(net_params['framecodes'], cam_idxs)
+        from .nerf_mlp import framecode_select
+        codes_ray = framecode_select(net_params['framecodes'], cam_idxs)
         codes = jnp.broadcast_to(codes_ray[:, None],
                                  v.shape[:2] + codes_ray.shape[-1:])
 

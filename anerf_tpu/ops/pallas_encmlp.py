@@ -870,8 +870,8 @@ def nerf_encmlp_pallas(net_params: Dict[str, Any], rc,
     J = est.J
     codes = None
     if est.has_codes:
-        from ..models.nerf_mlp import framecode_lookup
-        codes = framecode_lookup(net_params['framecodes'],
+        from ..models.nerf_mlp import framecode_select
+        codes = framecode_select(net_params['framecodes'],
                                  cam_idxs).astype(jnp.float32)
     flat = flatten_params_cm(net_params, st, J, est.view_nb)
     raw = _fused(st, est, p, enc_ray,
@@ -909,10 +909,10 @@ def nerf_encmlp_dual_pallas(coarse_params: Dict[str, Any],
     st, est, p, enc_ray, cutoff2d, tau2d = built
     J = est.J
     if est.has_codes:
-        from ..models.nerf_mlp import framecode_lookup
-        codes_c = framecode_lookup(coarse_params['framecodes'],
+        from ..models.nerf_mlp import framecode_select
+        codes_c = framecode_select(coarse_params['framecodes'],
                                    cam_idxs).astype(jnp.float32)
-        codes_f = framecode_lookup(fine_params['framecodes'],
+        codes_f = framecode_select(fine_params['framecodes'],
                                    cam_idxs).astype(jnp.float32)
     else:
         codes_c = codes_f = jnp.zeros((R, 0))

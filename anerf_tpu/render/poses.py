@@ -109,10 +109,17 @@ def load_retarget(kps, bones, c2ws, focals, rest_pose, selected_idxs,
 
 def load_interpolate(kps, bones, c2ws, focals, rest_pose, selected_idxs,
                      n_step: int = 10, undo_rot: bool = False,
-                     center_cam: bool = False, center_kps: bool = False
+                     center_cam: bool = False, center_kps: bool = False,
+                     mix_framecodes: bool = False
                      ) -> Dict[str, np.ndarray]:
     """Linear interpolation between consecutive selected poses
-    (reference run_render.py:664-719)."""
+    (reference run_render.py:664-719).
+
+    ``mix_framecodes=True`` emits ``cam_idxs`` as (n, 3) float rows
+    ``[idx_a, idx_b, w]`` so the per-frame appearance code is blended
+    with the same weight as the pose — the reference Optcodes' 2-idx
+    lerp path (embedding.py:24-28), which its own render catalog never
+    exercises (it repeats the first frame's code, run_render.py:718)."""
     selected_idxs = np.asarray(selected_idxs)
     c2ws = np.asarray(c2ws)[selected_idxs].copy()
     if center_cam:
@@ -137,9 +144,21 @@ def load_interpolate(kps, bones, c2ws, focals, rest_pose, selected_idxs,
     interp = np.concatenate(interp, axis=0)
     kp_out, skts = _finish(_fk_many(interp, rest_pose), kps[:1, :1, :])
     n = len(kp_out)
+    if mix_framecodes:
+        # one (idx_a, idx_b, w) row per frame, matching the bone lerp
+        w1 = np.linspace(0, 1.0, n_step, endpoint=False)
+        rows = [np.stack([np.full(n_step, selected_idxs[i], np.float32),
+                          np.full(n_step, selected_idxs[i + 1], np.float32),
+                          w1.astype(np.float32)], -1)
+                for i in range(len(selected_idxs) - 1)]
+        rows.append(np.array([[selected_idxs[-1], selected_idxs[-1], 0.]],
+                             np.float32))
+        cam_idxs = np.concatenate(rows, 0)
+    else:
+        cam_idxs = selected_idxs[:1].repeat(n, 0)
     return {'kp3d': kp_out, 'skts': skts, 'bones': interp,
             'c2ws': c2ws[:1].repeat(n, 0),
-            'cam_idxs': selected_idxs[:1].repeat(n, 0),
+            'cam_idxs': cam_idxs,
             'focals': focals[:1].repeat(n, 0)}
 
 

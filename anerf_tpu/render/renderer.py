@@ -105,7 +105,13 @@ class ImageRenderer:
                                       tuple(bone.shape[-2:])),
             'cyls': jnp.broadcast_to(jnp.asarray(cyl), (C, 5)),
         }
-        cam = jnp.full((C,), cam_idx, jnp.int32)
+        # cam_idx: int frame index, or a length-3 [idx_a, idx_b, w]
+        # framecode-mixing row (models.nerf_mlp.framecode_select)
+        if np.ndim(cam_idx) == 1:
+            cam = jnp.broadcast_to(
+                jnp.asarray(cam_idx, jnp.float32), (C, 3))
+        else:
+            cam = jnp.full((C,), cam_idx, jnp.int32)
         # two phases: dispatch every chunk asynchronously, THEN fetch.
         # Fetching inside the dispatch loop would sync on each chunk
         # (one device round-trip per chunk, 128 chunks per 512^2 frame)
@@ -202,7 +208,9 @@ class ImageRenderer:
                 bones[i % len(bones)],
                 cyl=None if cyls is None else cyls[i % len(cyls)],
                 center=center,
-                cam_idx=(int(cam_idxs[i]) if cam_idxs is not None else -1),
+                cam_idx=(-1 if cam_idxs is None else
+                         np.asarray(cam_idxs[i], np.float32)
+                         if np.ndim(cam_idxs[i]) == 1 else int(cam_idxs[i])),
                 bg=bg, ext_scale=ext_scale)
             rgbs.append(out['rgb'])
             disps.append(out['disp'])

@@ -141,6 +141,33 @@ def read_tb_scalars(path_or_dir: str) -> Dict[str, list]:
     return out
 
 
+def read_tb_tags(path_or_dir: str) -> set:
+    """All summary tags present in the event files (scalar OR video/
+    image payloads — read_tb_scalars only surfaces simple_value tags)."""
+    import glob as _glob
+    import struct
+    paths = ([path_or_dir] if os.path.isfile(path_or_dir) else
+             sorted(_glob.glob(os.path.join(path_or_dir, 'events.*'))))
+    tags = set()
+    for p in paths:
+        with open(p, 'rb') as f:
+            data = f.read()
+        pos = 0
+        while pos + 12 <= len(data):
+            (length,) = struct.unpack('<Q', data[pos:pos + 8])
+            payload = data[pos + 12:pos + 12 + length]
+            pos += 12 + length + 4
+            for field, wire, val in _proto_fields(payload):
+                if field == 5 and wire == 2:       # Event.summary
+                    for f2, w2, v2 in _proto_fields(val):
+                        if f2 != 1 or w2 != 2:     # Summary.value
+                            continue
+                        for f3, w3, v3 in _proto_fields(v2):
+                            if f3 == 1 and w3 == 2:
+                                tags.add(v3.decode('utf-8', 'replace'))
+    return tags
+
+
 def read_tag_scalars(tags, path_or_dirs) -> Dict[str, list]:
     """Reference-shaped accessor (evaluation_helpers.py:33-54): returns
     {tag: [values...], tag_steps: [steps...], num_events: N} across one

@@ -48,6 +48,11 @@ def parse_args(argv):
     p.add_argument('--n_step', type=int, default=None)
     p.add_argument('--joints', type=int, nargs='+',
                    default=None, help='joints for animate')
+    p.add_argument('--mix_framecodes', action='store_true',
+                   help='interpolate renders: blend the two endpoint '
+                        'frames\' appearance codes with the pose lerp '
+                        'weight (reference Optcodes 2-idx path, '
+                        'embedding.py:24-28)')
     p.add_argument('--render_refined', action='store_true',
                    help='use refined poses from the checkpoint pose bank')
     p.add_argument('--white_bkgd', action='store_true')
@@ -190,6 +195,8 @@ def get_poses(args, cfg, data_attrs, pose_params):
 def main(argv):
     args = parse_args(argv)
     gen_kwargs = apply_entry(args)
+    if args.mix_framecodes:
+        gen_kwargs['mix_framecodes'] = True  # consumed by load_interpolate
     import jax.numpy as jnp
     from anerf_tpu.render import poses as pose_gen
     from anerf_tpu.render.renderer import ImageRenderer

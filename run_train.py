@@ -208,6 +208,13 @@ def train(cfg):
             out = renderer.render_path(render_data, ext_scale=cfg.ext_scale,
                                        render_factor=cfg.render_factor)
             logger.log_video(i, 'Val/RGB', out['rgbs'])
+            # disparity video alongside RGB, normalized by the global
+            # max like the reference (run_nerf.py:178,591 Val/ValDIPS)
+            disps = out['disps']
+            dmax = float(np.max(disps))
+            logger.log_video(i, 'Val/Disp',
+                             (disps / (dmax if dmax > 0 else 1.0))[..., None]
+                             .repeat(3, axis=-1))
             if render_data.get('imgs') is not None:
                 m = evaluate_images(out['rgbs'], render_data['imgs'],
                                     fgs=render_data.get('fgs'),

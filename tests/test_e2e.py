@@ -30,6 +30,7 @@ def test_train_and_render_cli(workdir):
     cfg.n_iters = 6
     cfg.i_weights = 3
     cfg.i_print = 2
+    cfg.i_testset = 4      # exercise the val-render logging block
     cfg.num_workers = 1
     train(cfg)
 
@@ -44,6 +45,12 @@ def test_train_and_render_cli(workdir):
     with open(metrics) as f:
         recs = [json.loads(l) for l in f]
     assert any('total_loss' in r for r in recs)
+
+    # the i_testset val block logs RGB + disparity videos like the
+    # reference (run_nerf.py:590-591 Val/ValRGB + Val/ValDIPS)
+    from anerf_tpu.utils.logging import read_tb_tags
+    tags = read_tb_tags(logdir)
+    assert 'Val/RGB' in tags and 'Val/Disp' in tags, tags
 
     # resume: train a few more steps from the checkpoint
     cfg2 = load_config(os.path.join(os.path.dirname(__file__), '..',
@@ -90,6 +97,17 @@ def test_train_and_render_cli(workdir):
                      '--outputdir', outdir, '--runname', 'refined',
                      '--chunk', '512'])
     assert os.path.exists(os.path.join(outdir, 'refined', '0000.png'))
+
+    # interpolate render with blended appearance codes (Optcodes 2-idx
+    # lerp path, reference embedding.py:24-28)
+    run_render.main(['--nerf_args', os.path.join(logdir, 'args.txt'),
+                     '--ckptpath', ckpt,
+                     '--dataset_path', cfg.datadir,
+                     '--render_type', 'interpolate', '--mix_framecodes',
+                     '--selected_idxs', '0', '2', '--n_step', '2',
+                     '--outputdir', outdir, '--runname', 'interp_mix',
+                     '--chunk', '512'])
+    assert os.path.exists(os.path.join(outdir, 'interp_mix', '0000.png'))
 
 
 def test_entry_catalog_render(workdir):

@@ -392,3 +392,69 @@ def test_find_idxs_with_map():
     np.testing.assert_array_equal(out, [2, 3])   # 999 dropped
     np.testing.assert_array_equal(
         find_idxs_with_map(np.array([1, 2]), None), [1, 2])
+
+
+def test_framecode_mixing(scene):
+    """framecode_select dispatch + the interpolate-render consumer
+    (reference Optcodes 2-idx lerp, embedding.py:24-28)."""
+    from anerf_tpu.models.nerf_mlp import (framecode_lerp, framecode_lookup,
+                                           framecode_select)
+    from anerf_tpu.models.raycaster import render_rays
+
+    codes = jnp.asarray(np.random.RandomState(3).normal(
+        size=(4, 6)).astype(np.float32))
+    # int path == lookup; (R,3) path == lerp with matching endpoints
+    idx = jnp.asarray([0, 2, -1], jnp.int32)
+    np.testing.assert_allclose(framecode_select(codes, idx),
+                               framecode_lookup(codes, idx))
+    mix = jnp.asarray([[0., 2., 0.], [0., 2., 1.], [1., 3., 0.25]],
+                      jnp.float32)
+    got = framecode_select(codes, mix)
+    np.testing.assert_allclose(got[0], codes[0], rtol=1e-6)
+    np.testing.assert_allclose(got[1], codes[2], rtol=1e-6)
+    np.testing.assert_allclose(
+        got[2], framecode_lerp(codes, jnp.asarray(1), jnp.asarray(3),
+                               jnp.asarray(0.25)), rtol=1e-6)
+
+    # end-to-end: a (R,3) w=0 mix renders identically to the int index
+    cfg = small_cfg()
+    cfg = type(cfg)(**{**cfg.__dict__, 'opt_framecode': True})
+    rc = build_raycast_config(cfg, n_framecodes=4)
+    params = init_raycaster_params(jax.random.PRNGKey(1), rc, cfg)
+    est = embed_state(cfg, rc, 5000)
+    R = 4
+    rays_o = jnp.asarray(np.tile([[0., 0., 2.7]], (R, 1)), jnp.float32)
+    rays_d = jnp.asarray(np.random.RandomState(0).normal(
+        size=(R, 3)).astype(np.float32))
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    pose = {'kps': jnp.asarray(np.tile(scene['kps'][:1], (R, 1, 1))),
+            'skts': jnp.asarray(np.tile(scene['skts'][:1], (R, 1, 1, 1))),
+            'bones': jnp.asarray(np.tile(scene['bones'][:1], (R, 1, 1))),
+            'cyls': jnp.asarray(np.tile(scene['cyls'][:1], (R, 1)))}
+    rc_ev = rc.eval_variant()
+    out_int = render_rays(rc_ev, params, rays_o, rays_d, 0., 1., pose, est,
+                          cam_idxs=jnp.full((R,), 2, jnp.int32))
+    out_mix = render_rays(rc_ev, params, rays_o, rays_d, 0., 1., pose, est,
+                          cam_idxs=jnp.broadcast_to(
+                              jnp.asarray([2., 0., 0.], jnp.float32),
+                              (R, 3)))
+    np.testing.assert_allclose(out_mix['rgb_map'], out_int['rgb_map'],
+                               atol=1e-6)
+    # and a genuinely mixed render differs from both endpoints
+    out_half = render_rays(rc_ev, params, rays_o, rays_d, 0., 1., pose, est,
+                           cam_idxs=jnp.broadcast_to(
+                               jnp.asarray([2., 0., 0.5], jnp.float32),
+                               (R, 3)))
+    assert not np.allclose(out_half['rgb_map'], out_int['rgb_map'])
+
+
+def test_interpolate_generator_mix_framecodes(scene):
+    out = pose_gen.load_interpolate(scene['kps'], scene['bones'],
+                                    np.stack([scene['c2w']] * 2), 20.0,
+                                    scene['rest'], selected_idxs=[0, 1],
+                                    n_step=5, mix_framecodes=True)
+    cam = out['cam_idxs']
+    assert cam.shape == (6, 3)
+    np.testing.assert_allclose(cam[0], [0, 1, 0.0])
+    np.testing.assert_allclose(cam[4], [0, 1, 0.8])
+    np.testing.assert_allclose(cam[5], [1, 1, 0.0])
