@@ -64,11 +64,19 @@ def kp_to_valid_rays(c2ws, H, W, focals, kps=None, cylinder_params=None,
 
 
 class ImageRenderer:
-    """Chunked, jit-cached full-image renderer."""
+    """Chunked, jit-cached full-image renderer.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — each padded ray chunk is
+    sharded on its leading axis over the mesh's ``data`` axis with
+    params/embed-state replicated, so one bullet-render rides every
+    chip of a slice.  The TPU-native upgrade of the reference's
+    train-only DataParallel scatter (core/raycasters.py:157,172-175 —
+    its TEST path is deliberately unwrapped and single-GPU).
+    """
 
     def __init__(self, rc: RayCastConfig, params, state: Dict[str, Any],
                  chunk: int = 4096, near: float = 0., far: float = 1.,
-                 white_bkgd: bool = False):
+                 white_bkgd: bool = False, mesh=None):
         self.rc = rc.eval_variant()
         self.params = params
         self.state = state
@@ -76,11 +84,32 @@ class ImageRenderer:
         self.near = near
         self.far = far
         self.white_bkgd = white_bkgd
-        self._chunk_fn = jax.jit(self._render_chunk)
+        self.mesh = mesh
+        if mesh is None:
+            self._chunk_fn = jax.jit(self._render_chunk)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+            axis = mesh.axis_names[0]
+            assert chunk % mesh.devices.size == 0, (
+                f'chunk {chunk} not divisible by mesh size '
+                f'{mesh.devices.size}')
+            data = NamedSharding(mesh, PartitionSpec(axis))
+            rep = NamedSharding(mesh, PartitionSpec())
+            # rays/pose/cam sharded per-ray; params + embed-state
+            # (tau/alpha scalars) replicated; outputs stay ray-sharded
+            # and are gathered by np.asarray on fetch
+            self._chunk_fn = jax.jit(
+                self._render_chunk,
+                in_shardings=(rep, rep, data, data, data, data),
+                out_shardings=data)
 
-    def _render_chunk(self, params, rays_o, rays_d, pose, cam_idxs):
+    def _render_chunk(self, params, est, rays_o, rays_d, pose, cam_idxs):
+        # est (the tau/alpha schedule scalars) is an ARGUMENT, not a
+        # closure: run_train reassigns ``renderer.state`` every
+        # i_testset, and a closed-over value would stay baked into the
+        # first compiled executable.
         out = render_rays(self.rc, params, rays_o, rays_d,
-                          self.near, self.far, pose, self.state,
+                          self.near, self.far, pose, est,
                           cam_idxs=cam_idxs)
         return {'rgb_map': out['rgb_map'], 'disp_map': out['disp_map'],
                 'acc_map': out['acc_map']}
@@ -116,7 +145,8 @@ class ImageRenderer:
         # Fetching inside the dispatch loop would sync on each chunk
         # (one device round-trip per chunk, 128 chunks per 512^2 frame)
         # and stall the next chunk's launch behind it.
-        rets = [self._chunk_fn(self.params, jnp.asarray(ro[s:s + C]),
+        rets = [self._chunk_fn(self.params, self.state,
+                               jnp.asarray(ro[s:s + C]),
                                jnp.asarray(rd[s:s + C]), pose, cam)
                 for s in range(0, n_pad, C)]
         outs = {k: [np.asarray(r[k]) for r in rets]

@@ -123,7 +123,8 @@ def main():
                              chunk=n_rays, near=0.0, far=1.0)
     pose = {k: batch[k] for k in ('skts', 'bones', 'cyls')}
     pose['kps'] = batch['kps']
-    ev = renderer._chunk_fn(state['params'], batch['rays_o'],
+    ev = renderer._chunk_fn(state['params'], renderer.state,
+                            batch['rays_o'],
                             batch['rays_d'], pose, batch['cam_idxs'])
     _ = float(jnp.sum(ev['rgb_map']))
     # three independent timing windows, best one reported: a transient
@@ -137,7 +138,8 @@ def main():
         t0 = time.perf_counter()
         acc = None
         for i in range(n_ev):
-            ev = renderer._chunk_fn(state['params'], batch['rays_o'],
+            ev = renderer._chunk_fn(state['params'], renderer.state,
+                                    batch['rays_o'],
                                     batch['rays_d'], pose,
                                     batch['cam_idxs'])
             acc = ev['rgb_map'] if acc is None else acc + ev['rgb_map']

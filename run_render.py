@@ -66,6 +66,10 @@ def parse_args(argv):
     p.add_argument('--dataset_path', type=str, default=None,
                    help='override the h5 path (e.g. synthetic data)')
     p.add_argument('--chunk', type=int, default=None)
+    p.add_argument('--mesh_devices', type=int, default=0,
+                   help='>1: shard each render chunk over this many '
+                        'devices (jax.sharding data mesh); chunk must '
+                        'divide evenly')
     p.add_argument('--render_factor', type=int, default=0,
                    help='downsample factor for fast renders '
                         '(reference run_nerf.py:37-48)')
@@ -224,9 +228,14 @@ def main(argv):
         from anerf_tpu.render.catalog import find_idxs_with_map
         sel = find_idxs_with_map(sel, args.idx_map)
 
+    mesh = None
+    if args.mesh_devices > 1:
+        from anerf_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(args.mesh_devices)
     renderer = ImageRenderer(rc, params, state,
                              chunk=args.chunk or cfg.chunk,
-                             near=0., far=1., white_bkgd=args.white_bkgd)
+                             near=0., far=1., white_bkgd=args.white_bkgd,
+                             mesh=mesh)
 
     if args.render_type == 'mesh':
         from anerf_tpu.render.mesh import (extract_mesh, render_turntable,
