@@ -116,6 +116,13 @@ def _encode_fwd_res(est: EncStatic, p, enc_blk, cutoff, tau, bands=None):
         freq_row = jnp.exp2((k2 // 2).astype(jnp.float32))
         phase_row = (k2 % 2).astype(jnp.float32) * (np.pi / 2)
         bands = jnp.sin(_rep(dists, 2 * F) * freq_row + phase_row)
+        if STASH_DTYPE != jnp.float32:
+            # round to the stash dtype HERE so the backward's reload is
+            # bit-identical to what this forward consumed — otherwise
+            # the recomputed activations differ in the last bf16 bit
+            # and ReLU masks flip at boundaries (measured: trunk weight
+            # grad cosine drops to ~0.994 vs the self-consistent path)
+            bands = bands.astype(STASH_DTYPE).astype(jnp.float32)
     else:
         bands = bands.astype(jnp.float32)
     v = jnp.concatenate([dists, bands], axis=-1) * _rep(w, 2 * F + 1)
@@ -234,11 +241,9 @@ def _fwd_kernel(st: MLPStatic, est: EncStatic, stash: bool, *refs):
                                                    cutoff, tau)
     b16 = lambda a: a.astype(jnp.bfloat16)
     if stash:
-        # PE rows for the backward kernel (f32: the pullback scales
-        # them by freq, so bf16 rounding would visibly perturb pose
-        # grads): skipping their in-bwd recompute removes the wide sin
-        # from the backward entirely
-        refs[-1][:] = bands
+        # PE rows for the backward kernel (STASH_DTYPE): skipping their
+        # in-bwd recompute removes the wide sin from the backward
+        refs[-1][:] = bands.astype(refs[-1].dtype)
     xs = [b16(v), b16(r)]
     xvs = [b16(xv)]
     if est.has_codes:
@@ -404,7 +409,7 @@ def _fused_call(st, est, p, enc_ray, codes, cutoff, tau, flat,
     out_shape = [jax.ShapeDtypeStruct((n, 4), jnp.float32)]
     if stash:
         out_specs.append(_tile_spec(st.tile, nb))
-        out_shape.append(jax.ShapeDtypeStruct((n, nb), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((n, nb), STASH_DTYPE))
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, st, est, stash),
         grid=grid,
@@ -526,7 +531,7 @@ def _fwd_kernel_dual(st: MLPStatic, est: EncStatic, stash: bool, *refs):
                                                    cutoff, tau)
     b16 = lambda a: a.astype(jnp.bfloat16)
     if stash:
-        refs[-1][:] = bands
+        refs[-1][:] = bands.astype(refs[-1].dtype)
     xs = [b16(v), b16(r)]
     xv_b = b16(xv)
     T = p.shape[0]
@@ -606,7 +611,7 @@ def _fused_dual_call(st, est, p, enc_ray, codes_c, codes_f, cutoff, tau,
     out_shape = [jax.ShapeDtypeStruct((n, 4), jnp.float32)] * 2
     if stash:
         out_specs.append(_tile_spec(st.tile, nb))
-        out_shape.append(jax.ShapeDtypeStruct((n, nb), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((n, nb), STASH_DTYPE))
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel_dual, st, est, stash),
         grid=grid,
@@ -779,6 +784,21 @@ def view_pe_rows(rays_t_norm: jnp.ndarray, freq_bands: Sequence[float],
 # sublane tiling at rpt=4; 1024 doubles bwd VMEM pressure).
 DEFAULT_TILE = 512
 DEFAULT_BWD_TILE = 512
+# dtype of the PE-rows stash the forward kernel writes for the backward
+# (the n x 2FJ 'bands').  MEASURED REJECTION (round 4, on-chip A/B):
+# bf16 halves the ~0.5 ms/step stash HBM round trip but the step is NOT
+# faster (bf16 113.1k vs f32 113.6k rays/s — the stash DMA fully
+# overlaps kernel compute), while the extra quantization costs real
+# gradient fidelity (trunk weight-grad cosine vs the split-kernel path
+# drops 0.9999 -> ~0.994; the self-consistency experiment — rounding
+# the forward's bands to the stash dtype so the backward reloads
+# bit-identical values — leaves the cosines unchanged, i.e. the loss is
+# the forward perturbation itself, not recompute mismatch).  f32 stays
+# the default; ANERF_STASH_BF16=1 re-enables the experiment on
+# hardware where the stash DMA is bandwidth-bound.
+import os as _os
+STASH_DTYPE = (jnp.bfloat16 if _os.environ.get('ANERF_STASH_BF16')
+               else jnp.float32)
 
 
 def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
