@@ -298,36 +298,51 @@ def render_rays(rc: RayCastConfig,
     enc_cache: Dict[str, Any] = {}
 
     def run_pass(net_params, q_pts, key):
+        """Returns (raw, rows): ``rows=True`` means channel-major
+        (4, R, S) straight from the fused kernel's transposed output
+        (free per-channel (R, S) views; the dense (R, S, 4) layout
+        forces XLA relayout copies around compositing)."""
         if fused_net is not None:
             raw_out = fused_net(net_params, q_pts)
             if raw_out is not None:
-                return raw_out
+                return raw_out, True
         if key not in enc_cache:  # reuse encodings across coarse/fine nets
             enc_cache[key] = encode_fn(params, q_pts)
         vv, rr, dd = enc_cache[key]
         return _run_network(rc, net_params, vv, rr, dd, cam_idxs,
-                            subject_idxs=subject_idxs)
+                            subject_idxs=subject_idxs), False
+
+    def composite(raw, rows, z, noise):
+        if rows:
+            return compositing.raw2outputs_rows(
+                raw[3], raw[0], raw[1], raw[2], z, rays_d, noise=noise,
+                density_scale=rc.density_scale, act_fn=rc.density_fn())
+        return compositing.raw2outputs(raw, z, rays_d, noise=noise,
+                                       density_scale=rc.density_scale,
+                                       act_fn=rc.density_fn())
+
+    to_dense = lambda a: jnp.transpose(a, (1, 2, 0))
 
     # dual-net fused path: both networks on the coarse samples in one
     # kernel call (the fine pass on these points is consumed below)
     raw_c_pre = None
+    rows_c_pre = False
     if (fused_dual is not None and rc.N_importance > 0
             and not rc.single_net and params.get('fine') is not None):
         duo = fused_dual(pts)
         if duo is not None:
             raw, raw_c_pre = duo
+            rows = rows_c_pre = True
         else:
-            raw = run_pass(params['coarse'], pts, 'coarse')
+            raw, rows = run_pass(params['coarse'], pts, 'coarse')
     else:
-        raw = run_pass(params['coarse'], pts, 'coarse')
+        raw, rows = run_pass(params['coarse'], pts, 'coarse')
 
     noise = fixed.get('coarse_noise')
     if noise is None and rc.raw_noise_std > 0. and k_cnoise is not None:
-        noise = jax.random.normal(k_cnoise, raw.shape[:-1]) \
+        noise = jax.random.normal(k_cnoise, z_vals.shape) \
             * rc.raw_noise_std * rc.density_scale
-    ret = compositing.raw2outputs(raw, z_vals, rays_d, noise=noise,
-                                  density_scale=rc.density_scale,
-                                  act_fn=rc.density_fn())
+    ret = composite(raw, rows, z_vals, noise)
 
     ret0 = None
     if rc.N_importance > 0:
@@ -353,21 +368,32 @@ def render_rays(rc: RayCastConfig,
             # order and the weights ride back — identical math to the
             # reference's sort-encodings-then-run (raycasters.py:456-461)
             # without concatenating fat encodings OR permuting raw rows.
-            raw_c = raw_c_pre if raw_c_pre is not None \
-                else run_pass(fine_params, pts, 'coarse')
-            raw_n = run_pass(fine_params, pts_is, 'fine')
-            raw_cat = jnp.concatenate([raw_c, raw_n], axis=1)
+            if raw_c_pre is not None:
+                raw_c, rows_f = raw_c_pre, rows_c_pre
+            else:
+                raw_c, rows_f = run_pass(fine_params, pts, 'coarse')
+            raw_n, rows_n = run_pass(fine_params, pts_is, 'fine')
         else:
-            raw_is = run_pass(fine_params, pts_is, 'fine')
-            raw_cat = jnp.concatenate([raw, raw_is], axis=1)
+            raw_c, rows_f = raw, rows
+            raw_n, rows_n = run_pass(fine_params, pts_is, 'fine')
 
         noise = fixed.get('fine_noise')
         if noise is None and rc.raw_noise_std > 0. and k_fnoise is not None:
-            noise = jax.random.normal(k_fnoise, raw_cat.shape[:-1]) \
+            noise = jax.random.normal(k_fnoise, z_cat.shape) \
                 * rc.raw_noise_std * rc.density_scale
-        ret = compositing.raw2outputs_merged(
-            raw_cat, z_cat, P, rays_d, noise=noise,
-            density_scale=rc.density_scale, act_fn=rc.density_fn())
+        if rows_f and rows_n:
+            cat = lambda c: jnp.concatenate([raw_c[c], raw_n[c]], axis=-1)
+            ret = compositing.raw2outputs_merged_rows(
+                cat(3), cat(0), cat(1), cat(2), z_cat, P, rays_d,
+                noise=noise, density_scale=rc.density_scale,
+                act_fn=rc.density_fn())
+        else:
+            raw_cat = jnp.concatenate(
+                [to_dense(raw_c) if rows_f else raw_c,
+                 to_dense(raw_n) if rows_n else raw_n], axis=1)
+            ret = compositing.raw2outputs_merged(
+                raw_cat, z_cat, P, rays_d, noise=noise,
+                density_scale=rc.density_scale, act_fn=rc.density_fn())
 
     out = {'rgb_map': ret['rgb_map'], 'disp_map': ret['disp_map'],
            'acc_map': ret['acc_map'], 'alpha': ret['alpha'],

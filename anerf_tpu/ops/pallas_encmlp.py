@@ -66,6 +66,13 @@ def _comp_major_perm(J: int) -> np.ndarray:
     return (j * 3 + comp).astype(np.int32)
 
 
+def _doubling_freqs(freqs) -> bool:
+    """True iff every band doubles the previous (the log-sampled PE
+    grid 2^0..2^(F-1)), the precondition of the sin recurrence."""
+    return all(abs(freqs[k + 1] - 2. * freqs[k]) < 1e-6 * freqs[k + 1]
+               for k in range(len(freqs) - 1))
+
+
 def _rep(a, k):
     """(T, C) -> (T, k*C), column blocks repeated.  Concat rather
     than broadcast+reshape: Mosaic does not lower minor-dim merges
@@ -108,14 +115,32 @@ def _encode_fwd_res(est: EncStatic, p, enc_blk, cutoff, tau, bands=None):
     # VPU at full lane width instead of 2F narrow 24-lane calls.
     F = len(est.kp_freqs)
     if bands is None:
-        # freq/phase rows built from iota (pallas kernels cannot capture
-        # array constants): band k uses freq 2^(k//2) (log-sampled
-        # bands), phase pi/2 turns the odd rows into cosines
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * F * J), 1)
-        k2 = col // J
-        freq_row = jnp.exp2((k2 // 2).astype(jnp.float32))
-        phase_row = (k2 % 2).astype(jnp.float32) * (np.pi / 2)
-        bands = jnp.sin(_rep(dists, 2 * F) * freq_row + phase_row)
+        if SIN_RECURRENCE and _doubling_freqs(est.kp_freqs):
+            # one narrow sin for (sin f0 d, cos f0 d), then double-angle
+            # recursion per octave: sin 2a = 2 sin a cos a,
+            # cos 2a = 1 - 2 sin^2 a.  Exact in infinite precision;
+            # f32 drift grows ~2x per octave from machine eps
+            # (~4e-6 rel at 2^6, far below the bf16 consumption).
+            # Replaces the (T, 2FJ)-wide transcendental with (F-1)
+            # rounds of 3 narrow multiplies.
+            ang = dists * est.kp_freqs[0]
+            sc = jnp.sin(jnp.concatenate([ang, ang + np.pi / 2], -1))
+            s_k, c_k = sc[:, :J], sc[:, J:]
+            blocks = [sc]
+            for _ in range(F - 1):
+                s_k, c_k = 2. * s_k * c_k, 1. - 2. * s_k * s_k
+                blocks.append(jnp.concatenate([s_k, c_k], -1))
+            bands = jnp.concatenate(blocks, -1)
+        else:
+            # freq/phase rows built from iota (pallas kernels cannot
+            # capture array constants): band k uses freq 2^(k//2)
+            # (log-sampled bands), phase pi/2 turns the odd rows into
+            # cosines
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * F * J), 1)
+            k2 = col // J
+            freq_row = jnp.exp2((k2 // 2).astype(jnp.float32))
+            phase_row = (k2 % 2).astype(jnp.float32) * (np.pi / 2)
+            bands = jnp.sin(_rep(dists, 2 * F) * freq_row + phase_row)
         if STASH_DTYPE != jnp.float32:
             # round to the stash dtype HERE so the backward's reload is
             # bit-identical to what this forward consumed — otherwise
@@ -249,7 +274,11 @@ def _fwd_kernel(st: MLPStatic, est: EncStatic, stash: bool, *refs):
     if est.has_codes:
         xvs.append(b16(_codes_tile(est, codes_blk, p.shape[0])))
     _, _, _, rgb, alpha = _forward_tile(st, xs, xvs, wrefs)
-    out_ref[:] = jnp.concatenate([rgb, alpha], axis=-1)
+    # raw is written TRANSPOSED (4, tile): the caller's per-ray (R, S)
+    # channel views are then free bitcasts instead of the
+    # f32[R,S,4] {2,1,0}<->{0,1,2} relayout copies XLA otherwise
+    # inserts around compositing (~0.36 ms/step measured)
+    out_ref[:] = jnp.concatenate([rgb, alpha], axis=-1).T
 
 
 def _mlp_bwd_tile(st: MLPStatic, xs, xvs, wrefs, grefs, g):
@@ -369,7 +398,8 @@ def _bwd_kernel(st: MLPStatic, est: EncStatic, *refs):
     if est.has_codes:
         xvs.append(b16(_codes_tile(est, codes_blk, T)))
 
-    g_x_acc, g_xvs = _mlp_bwd_tile(st, xs, xvs, wrefs, grefs, g_ref[:])
+    g_x_acc, g_xvs = _mlp_bwd_tile(st, xs, xvs, wrefs, grefs,
+                                   g_ref[:].T)
 
     # --- encode backward: pull (dv, dr, dxv) to (dp, denc) ---
     # cotangents round-trip bf16 (same quantization as the MLP path)
@@ -385,6 +415,12 @@ def _bwd_kernel(st: MLPStatic, est: EncStatic, *refs):
 
 def _block_spec(rpt, width):
     return pl.BlockSpec((rpt, width), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _rawT_spec(tile):
+    """(4, n) transposed-raw blocks: (4, tile) at column i*tile."""
+    return pl.BlockSpec((4, tile), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
 
 
@@ -405,8 +441,8 @@ def _fused_call(st, est, p, enc_ray, codes, cutoff, tau, flat,
     args = [p, enc_ray] + ([codes] if est.has_codes else []) \
         + [cutoff, tau] + list(flat)
     nb = 2 * len(est.kp_freqs) * J
-    out_specs = [_tile_spec(st.tile, 4)]
-    out_shape = [jax.ShapeDtypeStruct((n, 4), jnp.float32)]
+    out_specs = [_rawT_spec(st.tile)]
+    out_shape = [jax.ShapeDtypeStruct((4, n), jnp.float32)]
     if stash:
         out_specs.append(_tile_spec(st.tile, nb))
         out_shape.append(jax.ShapeDtypeStruct((n, nb), STASH_DTYPE))
@@ -475,7 +511,7 @@ def _fused_bwd(st, est, res, g):
         functools.partial(_bwd_kernel, st, est),
         grid=grid,
         in_specs=_in_specs(st, est, J)
-        + [_tile_spec(st.tile, 4), _tile_spec(st.tile, nb)]
+        + [_rawT_spec(st.tile), _tile_spec(st.tile, nb)]
         + [_const_spec(s) for s, _ in gshapes],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -540,7 +576,7 @@ def _fwd_kernel_dual(st: MLPStatic, est: EncStatic, stash: bool, *refs):
         if est.has_codes:
             xvs.append(b16(_codes_tile(est, codes[net], T)))
         _, _, _, rgb, alpha = _forward_tile(st, xs, xvs, wrefs_all[net])
-        out_refs[net][:] = jnp.concatenate([rgb, alpha], axis=-1)
+        out_refs[net][:] = jnp.concatenate([rgb, alpha], axis=-1).T
 
 
 def _bwd_kernel_dual(st: MLPStatic, est: EncStatic, *refs):
@@ -581,7 +617,7 @@ def _bwd_kernel_dual(st: MLPStatic, est: EncStatic, *refs):
         if est.has_codes:
             xvs.append(b16(_codes_tile(est, codes[net], T)))
         g_x_acc, g_xvs = _mlp_bwd_tile(st, xs, xvs, wrefs_all[net],
-                                       grefs[net], g_refs[net][:])
+                                       grefs[net], g_refs[net][:].T)
         gx_tot = [a + b for a, b in zip(gx_tot, g_x_acc)]
         gxv_tot = gxv_tot + g_xvs[0]
         if est.has_codes:
@@ -607,8 +643,8 @@ def _fused_dual_call(st, est, p, enc_ray, codes_c, codes_f, cutoff, tau,
         + ([codes_c, codes_f] if est.has_codes else []) \
         + [cutoff, tau] + list(flat_c) + list(flat_f)
     wspecs = [_const_spec(s) for s, _ in _weight_shapes(st)]
-    out_specs = [_tile_spec(st.tile, 4)] * 2
-    out_shape = [jax.ShapeDtypeStruct((n, 4), jnp.float32)] * 2
+    out_specs = [_rawT_spec(st.tile)] * 2
+    out_shape = [jax.ShapeDtypeStruct((4, n), jnp.float32)] * 2
     if stash:
         out_specs.append(_tile_spec(st.tile, nb))
         out_shape.append(jax.ShapeDtypeStruct((n, nb), STASH_DTYPE))
@@ -678,7 +714,7 @@ def _fused_dual_bwd(st, est, res, g):
         functools.partial(_bwd_kernel_dual, st, est),
         grid=grid,
         in_specs=_dual_in_specs(st, est, J)
-        + [_tile_spec(st.tile, 4)] * 2 + [_tile_spec(st.tile, nb)]
+        + [_rawT_spec(st.tile)] * 2 + [_tile_spec(st.tile, nb)]
         + wspecs + wspecs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -799,6 +835,9 @@ DEFAULT_BWD_TILE = 512
 import os as _os
 STASH_DTYPE = (jnp.bfloat16 if _os.environ.get('ANERF_STASH_BF16')
                else jnp.float32)
+# double-angle sin recurrence for the forward's PE bands (A/B toggle;
+# see _encode_fwd_res).  Default chosen by on-chip measurement.
+SIN_RECURRENCE = bool(_os.environ.get('ANERF_SINREC'))
 
 
 def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
@@ -897,7 +936,9 @@ def nerf_encmlp_pallas(net_params: Dict[str, Any], rc,
     raw = _fused(st, est, p, enc_ray,
                  codes if codes is not None else jnp.zeros((R, 0)),
                  cutoff2d, tau2d, flat)
-    return raw.reshape(R, S, 4)
+    # channel-major (4, R, S): [r, g, b, sigma] rows; the (R, S)
+    # per-channel views downstream are free bitcasts
+    return raw.reshape(4, R, S)
 
 
 def nerf_encmlp_dual_pallas(coarse_params: Dict[str, Any],
@@ -940,4 +981,4 @@ def nerf_encmlp_dual_pallas(coarse_params: Dict[str, Any],
     flat_f = flatten_params_cm(fine_params, st, J, est.view_nb)
     raw_c, raw_f = _fused_dual(st, est, p, enc_ray, codes_c, codes_f,
                                cutoff2d, tau2d, flat_c, flat_f)
-    return raw_c.reshape(R, S, 4), raw_f.reshape(R, S, 4)
+    return raw_c.reshape(4, R, S), raw_f.reshape(4, R, S)
