@@ -835,9 +835,12 @@ DEFAULT_BWD_TILE = 512
 import os as _os
 STASH_DTYPE = (jnp.bfloat16 if _os.environ.get('ANERF_STASH_BF16')
                else jnp.float32)
-# double-angle sin recurrence for the forward's PE bands (A/B toggle;
-# see _encode_fwd_res).  Default chosen by on-chip measurement.
-SIN_RECURRENCE = bool(_os.environ.get('ANERF_SINREC'))
+# double-angle sin recurrence for the forward's PE bands (see
+# _encode_fwd_res).  ON by default: measured on v5e at the flagship
+# recipe it lifts train 117.0 -> 121.4k rays/s and fwd-only eval
+# 344 -> 384k (the wide (T, 2FJ) transcendental was the largest VPU
+# block in the forward kernel).  ANERF_NO_SINREC=1 reverts.
+SIN_RECURRENCE = not _os.environ.get('ANERF_NO_SINREC')
 
 
 def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
