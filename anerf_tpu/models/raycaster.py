@@ -273,6 +273,13 @@ def render_rays(rc: RayCastConfig,
             tau_in = state.get('tau')
             if tau_in is None:
                 tau_in = jnp.asarray(1e6)
+            # per-ray view PE rows built ONCE and shared by the
+            # coarse-pass and fine-pass kernel calls (XLA does not CSE
+            # the two builds across the custom-call boundary)
+            enc_ray = PE.view_pe_rows(
+                rays_t_norm,
+                [float(f) for f in rc.view_embed.freq_bands()],
+                rc.n_joints).astype(jnp.float32)
 
             def fused_net(net_params, q_pts):  # noqa: E306
                 # component-major transform: the kernel's (n, 3J)
@@ -282,7 +289,7 @@ def render_rays(rc: RayCastConfig,
                 return PE.nerf_encmlp_pallas(
                     net_params, rc, pts_cm, rays_t_norm, cutoff_sg, tau_in,
                     cam_idxs if rc.nerf.use_framecode else None,
-                    tile=rc.pallas_tile, cm=True)
+                    tile=rc.pallas_tile, cm=True, enc_ray=enc_ray)
 
             def fused_dual(q_pts):  # noqa: E306
                 # coarse + fine nets on the same points, one kernel:
@@ -293,7 +300,7 @@ def render_rays(rc: RayCastConfig,
                     params['coarse'], params['fine'], rc, pts_cm,
                     rays_t_norm, cutoff_sg, tau_in,
                     cam_idxs if rc.nerf.use_framecode else None,
-                    tile=rc.pallas_tile, cm=True)
+                    tile=rc.pallas_tile, cm=True, enc_ray=enc_ray)
 
     enc_cache: Dict[str, Any] = {}
 

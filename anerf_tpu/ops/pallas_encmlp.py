@@ -844,12 +844,15 @@ SIN_RECURRENCE = not _os.environ.get('ANERF_NO_SINREC')
 
 
 def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
-                interpret, tile, cm=False):
+                interpret, tile, cm=False, enc_ray=None):
     """Shared prep for the fused entries: statics + kernel inputs.
 
     ``cm=True``: ``pts_t`` is already flattened component-major
     (R, S, 3J) (encoders.transform_batch_pts_cm), so the (n, 3J)
     reshape below is free instead of a materialized transpose.
+    ``enc_ray``: optionally the precomputed ``view_pe_rows`` (the
+    caller can share one build across the coarse and fine-pass kernel
+    calls of a step — XLA does not CSE the two otherwise).
 
     Returns None if the (R, S) shape does not tile, else
     (st, est, p, enc_ray, cutoff2d, tau2d).
@@ -895,9 +898,10 @@ def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
     if not cm:
         pts_t = pts_t.transpose(0, 1, 3, 2)
     p = pts_t.reshape(n, 3 * J).astype(jnp.float32)
-    enc_ray = view_pe_rows(rays_t_norm,
-                           [float(f) for f in rc.view_embed.freq_bands()],
-                           J)
+    if enc_ray is None:
+        enc_ray = view_pe_rows(
+            rays_t_norm,
+            [float(f) for f in rc.view_embed.freq_bands()], J)
     enc_ray = enc_ray.astype(jnp.float32)
     cutoff2d = jnp.asarray(cutoff_dist, jnp.float32).reshape(1, J)
     tau2d = jnp.asarray(tau, jnp.float32).reshape(1, 1)
@@ -912,7 +916,9 @@ def nerf_encmlp_pallas(net_params: Dict[str, Any], rc,
                        cam_idxs: Optional[jnp.ndarray] = None,
                        interpret: Optional[bool] = None,
                        tile: Optional[int] = None,
-                       cm: bool = False) -> Optional[jnp.ndarray]:
+                       cm: bool = False,
+                       enc_ray: Optional[jnp.ndarray] = None
+                       ) -> Optional[jnp.ndarray]:
     """Fused encode+MLP for one network pass.
 
     Args:
@@ -925,7 +931,8 @@ def nerf_encmlp_pallas(net_params: Dict[str, Any], rc,
     """
     R, S = pts_t.shape[:2]
     built = _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau,
-                        cam_idxs, interpret, tile, cm=cm)
+                        cam_idxs, interpret, tile, cm=cm,
+                        enc_ray=enc_ray)
     if built is None:
         return None
     st, est, p, enc_ray, cutoff2d, tau2d = built
@@ -953,7 +960,8 @@ def nerf_encmlp_dual_pallas(coarse_params: Dict[str, Any],
                             cam_idxs: Optional[jnp.ndarray] = None,
                             interpret: Optional[bool] = None,
                             tile: Optional[int] = None,
-                            cm: bool = False
+                            cm: bool = False,
+                            enc_ray: Optional[jnp.ndarray] = None
                             ) -> Optional[Tuple[jnp.ndarray, jnp.ndarray]]:
     """Fused encode + BOTH MLPs on the same points (one kernel call).
 
@@ -967,7 +975,8 @@ def nerf_encmlp_dual_pallas(coarse_params: Dict[str, Any],
     """
     R, S = pts_t.shape[:2]
     built = _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau,
-                        cam_idxs, interpret, tile, cm=cm)
+                        cam_idxs, interpret, tile, cm=cm,
+                        enc_ray=enc_ray)
     if built is None:
         return None
     st, est, p, enc_ray, cutoff2d, tau2d = built

@@ -12,7 +12,7 @@ from anerf_tpu.ops import pallas_encmlp as PE
 
 
 def main():
-    for tile, bwd in ((512, 512), (512, 256), (256, 256), (1024, 512), (512, 128)):
+    for tile, bwd in ((512, 512), (512, 1024), (1024, 1024), (512, 2048), (1024, 512), (2048, 512)):
         PE.DEFAULT_TILE = tile
         PE.DEFAULT_BWD_TILE = bwd
         try:
