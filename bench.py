@@ -161,7 +161,11 @@ def main():
                 [sys.executable,
                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               'scripts', 'bench_sustained.py'),
-                 '--steps', '300', '--i_print', '50'],
+                 # bundled dispatch (the run_train --steps_per_dispatch
+                 # path, same as the kernel bench): at spd=1 the
+                 # per-dispatch tunnel latency + host loop cost
+                 # ~1.3 ms/step (measured attribution in BASELINE.md)
+                 '--steps', '600', '--i_print', '50', '--spd', '10'],
                 capture_output=True, text=True, timeout=600)
             sustained = json.loads(
                 out.stdout.strip().splitlines()[-1])['value']
