@@ -358,7 +358,9 @@ def render_rays(rc: RayCastConfig,
             z_vals, ret0['weights'], rc.N_importance,
             det=(rc.perturb == 0.), is_only=rc.single_net,
             rng=k_fine, u=fixed.get('fine_u'))
-        P = _rank_perm(ranks)
+        import os as _os
+        P = None if _os.environ.get('ANERF_ABLATE_MERGE') \
+            else _rank_perm(ranks)
         z_cat = jnp.concatenate([z_vals, z_samples], axis=-1)
         pts_is = rays_o[:, None] + rays_d[:, None] * z_samples[..., None]
         if rc.ray_noise_std > 0. and k_ray2 is not None:

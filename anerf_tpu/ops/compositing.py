@@ -203,15 +203,21 @@ def raw2outputs_merged_rows(sig_cat: jnp.ndarray, r_cat: jnp.ndarray,
     map is a concat-order reduction.
     """
     hi = jax.lax.Precision.HIGHEST
-    z_sorted = jnp.einsum('rk,rkp->rp', z_cat, P, precision=hi)
+    if P is None:
+        # ABLATION ONLY (perf upper bound of in-kernel merge fusion):
+        # treat concat order as depth order — WRONG math, never ship
+        z_sorted, sig_s = z_cat, sig_cat / density_scale
+    else:
+        z_sorted = jnp.einsum('rk,rkp->rp', z_cat, P, precision=hi)
+        sig_s = jnp.einsum('rk,rkp->rp', sig_cat / density_scale, P,
+                           precision=hi)
 
     dists = z_sorted[..., 1:] - z_sorted[..., :-1]
     dists = jnp.concatenate(
         [dists, jnp.full_like(dists[..., :1], 1e10)], -1)
     dists = dists * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
 
-    sigma = jnp.einsum('rk,rkp->rp', sig_cat / density_scale, P,
-                       precision=hi)
+    sigma = sig_s
     if noise is not None:
         sigma = sigma + noise
     alpha = 1. - jnp.exp(-act_fn(sigma) * dists)
@@ -220,7 +226,8 @@ def raw2outputs_merged_rows(sig_cat: jnp.ndarray, r_cat: jnp.ndarray,
         jnp.concatenate([jnp.ones_like(alpha[..., :1]),
                          1. - alpha + 1e-10], -1), -1)[..., :-1]
     weights = alpha * trans
-    w_cat = jnp.einsum('rp,rkp->rk', weights, P, precision=hi)
+    w_cat = weights if P is None else \
+        jnp.einsum('rp,rkp->rk', weights, P, precision=hi)
 
     stretch = lambda c: jax.nn.sigmoid(c) * (1 + 2 * rgb_eps) - rgb_eps
     rgb_map = jnp.stack([jnp.sum(w_cat * stretch(c), -1)

@@ -53,6 +53,12 @@ def main():
     ap.add_argument('--min_pose_gain', type=float, default=0.15,
                     help='required fractional drop in pose error')
     ap.add_argument('--no_check', action='store_true')
+    ap.add_argument('--pose_lr', type=float, default=1e-3)
+    ap.add_argument('--pose_step', type=int, default=2)
+    ap.add_argument('--pose_decay', type=int, default=None,
+                    help='pose-lr 10x-decay interval (default steps//4; '
+                         'steps//4 freezes the bank after ~half the run '
+                         '- use ~steps for long refinements)')
     args = ap.parse_args()
 
     import h5py
@@ -107,10 +113,12 @@ def main():
         n_iters=args.steps, lrate=5e-4, lrate_decay=500,
         raw_noise_std=1.0, compute_dtype='bfloat16',
         mlp_backend=args.mlp_backend,
-        opt_pose=True, opt_pose_step=2, opt_pose_lrate=1e-3,
+        opt_pose=True, opt_pose_step=args.pose_step,
+        opt_pose_lrate=args.pose_lr,
         # decay the pose lr ~10x over the run so the bank settles
         # instead of bouncing around the optimum
-        opt_pose_lrate_decay=max(args.steps // 4, 1),
+        opt_pose_lrate_decay=(args.pose_decay if args.pose_decay
+                              else max(args.steps // 4, 1)),
         opt_pose_decay_rate=0.1, opt_pose_decay_unit=1,
         opt_pose_coef=0.05, opt_pose_tol=float(2 * args.bone_noise ** 2),
         num_workers=2)
