@@ -53,6 +53,8 @@ def main():
     ap.add_argument('--min_pose_gain', type=float, default=0.15,
                     help='required fractional drop in pose error')
     ap.add_argument('--no_check', action='store_true')
+    ap.add_argument('--seed', type=int, default=None,
+                    help='override cfg.seed (trajectory-chaos spread)')
     ap.add_argument('--pose_lr', type=float, default=1e-3)
     ap.add_argument('--pose_step', type=int, default=2)
     ap.add_argument('--pose_decay', type=int, default=None,
@@ -122,6 +124,8 @@ def main():
         opt_pose_decay_rate=0.1, opt_pose_decay_unit=1,
         opt_pose_coef=0.05, opt_pose_tol=float(2 * args.bone_noise ** 2),
         num_workers=2)
+    if args.seed is not None:
+        cfg.seed = args.seed
 
     prefetcher, _, data_attrs = load_data(cfg)
     rest_pose = np.asarray(data_attrs['rest_pose'], np.float32)
