@@ -41,7 +41,12 @@ def main():
     results = {}
     for name, tile in variants:
         rc = setup.rc.eval_variant()
-        if tile is not None:
+        if tile is None:
+            # force the XLA path: build_flagship's 'auto' resolves to
+            # pallas on TPU, which silently made this variant a
+            # pallas-default-tile run
+            rc = dataclasses.replace(rc, mlp_backend='xla')
+        else:
             rc = dataclasses.replace(rc, mlp_backend='pallas')
             PE.DEFAULT_TILE = tile
 

@@ -109,6 +109,21 @@ def test_train_and_render_cli(workdir):
                      '--chunk', '512'])
     assert os.path.exists(os.path.join(outdir, 'interp_mix', '0000.png'))
 
+    # mesh-sharded render CLI: chunks sharded over 4 of the virtual
+    # devices must reproduce the single-device selected render
+    base = ['--nerf_args', os.path.join(logdir, 'args.txt'),
+            '--ckptpath', ckpt, '--dataset_path', cfg.datadir,
+            '--render_type', 'selected', '--selected_idxs', '1',
+            '--outputdir', outdir, '--chunk', '512']
+    run_render.main(base + ['--runname', 'sel1'])
+    run_render.main(base + ['--runname', 'sel4', '--mesh_devices', '4'])
+    import imageio.v2 as iio
+    a = iio.imread(os.path.join(outdir, 'sel1', '0000.png'))
+    b = iio.imread(os.path.join(outdir, 'sel4', '0000.png'))
+    assert a.shape == b.shape
+    # f32 math, png-quantized: allow 1 LSB for partition fusion rounding
+    assert int(np.abs(a.astype(np.int32) - b.astype(np.int32)).max()) <= 1
+
 
 def test_entry_catalog_render(workdir):
     """--entry resolves a catalog entry: the h5 path, generator params
