@@ -163,8 +163,13 @@ def _encode_fwd_res(est: EncStatic, p, enc_blk, cutoff, tau, bands=None):
     # view 'relray': per-ray PE rows (rpt, nb*3J) * per-sample window
     # (leading-dim broadcast over samples IS a supported reshape)
     nbJ3 = est.view_nb * 3 * J
-    enc_b = jnp.broadcast_to(enc_blk[:, None], (est.rpt, est.S, nbJ3))
-    xv = enc_b.reshape(T, nbJ3) * _rep(w3, est.view_nb)
+    if _ABLATE_XV:
+        # perf upper bound of the per-ray view factorization: skip the
+        # xv build AND starve its matmul (wrong math, never ship)
+        xv = jnp.zeros((T, nbJ3), jnp.float32)
+    else:
+        enc_b = jnp.broadcast_to(enc_blk[:, None], (est.rpt, est.S, nbJ3))
+        xv = enc_b.reshape(T, nbJ3) * _rep(w3, est.view_nb)
     return (v, r, xv), (dists, w, bands, invd)
 
 
@@ -841,6 +846,7 @@ STASH_DTYPE = (jnp.bfloat16 if _os.environ.get('ANERF_STASH_BF16')
 # 344 -> 384k (the wide (T, 2FJ) transcendental was the largest VPU
 # block in the forward kernel).  ANERF_NO_SINREC=1 reverts.
 SIN_RECURRENCE = not _os.environ.get('ANERF_NO_SINREC')
+_ABLATE_XV = bool(_os.environ.get('ANERF_ABLATE_XV'))
 
 
 def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
