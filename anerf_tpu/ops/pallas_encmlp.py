@@ -89,7 +89,8 @@ def _sum_blocks(a, width: int, k: int):
     return acc
 
 
-def _encode_fwd_res(est: EncStatic, p, enc_blk, cutoff, tau, bands=None):
+def _encode_fwd_res(est: EncStatic, p, enc_blk, cutoff, tau, bands=None,
+                    skip_xv=False):
     """In-VMEM encode returning (v, r, xv) f32 plus pullback residuals.
 
     Mirrors ops/embedding.embed for the flagship flags
@@ -163,7 +164,9 @@ def _encode_fwd_res(est: EncStatic, p, enc_blk, cutoff, tau, bands=None):
     # view 'relray': per-ray PE rows (rpt, nb*3J) * per-sample window
     # (leading-dim broadcast over samples IS a supported reshape)
     nbJ3 = est.view_nb * 3 * J
-    if _ABLATE_XV:
+    if skip_xv:
+        xv = None          # caller consumes the factorized form instead
+    elif _ABLATE_XV:
         # perf upper bound of the per-ray view factorization: skip the
         # xv build AND starve its matmul (wrong math, never ship)
         xv = jnp.zeros((T, nbJ3), jnp.float32)
@@ -267,15 +270,17 @@ def _fwd_kernel(st: MLPStatic, est: EncStatic, stash: bool, *refs):
     n_out = 2 if stash else 1
     wrefs, out_ref = refs[i + 2:len(refs) - n_out], refs[-n_out]
 
-    (v, r, xv), (_, _, bands, _) = _encode_fwd_res(est, p, enc_blk,
-                                                   cutoff, tau)
+    viewfac = VIEWFAC and not stash   # primal-only (eval) path
+    (v, r, xv), (_, w, bands, _) = _encode_fwd_res(est, p, enc_blk,
+                                                   cutoff, tau,
+                                                   skip_xv=viewfac)
     b16 = lambda a: a.astype(jnp.bfloat16)
     if stash:
         # PE rows for the backward kernel (STASH_DTYPE): skipping their
         # in-bwd recompute removes the wide sin from the backward
         refs[-1][:] = bands.astype(refs[-1].dtype)
     xs = [b16(v), b16(r)]
-    xvs = [b16(xv)]
+    xvs = [('fac', w, enc_blk, est.rpt, est.S) if viewfac else b16(xv)]
     if est.has_codes:
         xvs.append(b16(_codes_tile(est, codes_blk, p.shape[0])))
     _, _, _, rgb, alpha = _forward_tile(st, xs, xvs, wrefs)
@@ -568,13 +573,15 @@ def _fwd_kernel_dual(st: MLPStatic, est: EncStatic, stash: bool, *refs):
     n_out = 3 if stash else 2
     out_refs = (refs[-n_out], refs[-n_out + 1])
 
-    (v, r, xv), (_, _, bands, _) = _encode_fwd_res(est, p, enc_blk,
-                                                   cutoff, tau)
+    viewfac = VIEWFAC and not stash   # primal-only (eval) path
+    (v, r, xv), (_, w, bands, _) = _encode_fwd_res(est, p, enc_blk,
+                                                   cutoff, tau,
+                                                   skip_xv=viewfac)
     b16 = lambda a: a.astype(jnp.bfloat16)
     if stash:
         refs[-1][:] = bands.astype(refs[-1].dtype)
     xs = [b16(v), b16(r)]
-    xv_b = b16(xv)
+    xv_b = ('fac', w, enc_blk, est.rpt, est.S) if viewfac else b16(xv)
     T = p.shape[0]
     for net in range(2):
         xvs = [xv_b]
@@ -847,6 +854,17 @@ STASH_DTYPE = (jnp.bfloat16 if _os.environ.get('ANERF_STASH_BF16')
 # block in the forward kernel).  ANERF_NO_SINREC=1 reverts.
 SIN_RECURRENCE = not _os.environ.get('ANERF_NO_SINREC')
 _ABLATE_XV = bool(_os.environ.get('ANERF_ABLATE_XV'))
+# Per-ray view factorization for PRIMAL-ONLY (eval/render) forward
+# kernels: the 'relray' view encoding is constant along each ray, so
+# xv @ Wx == window @ M_ray with M_ray[j] = sum_blocks enc[.]*Wx[.]
+# (BASELINE.md design note).  Replaces the (T, 648)x(648, half) views
+# matmul (~10% of eval MACs) with a 27-block M build + per-ray
+# (S, J)x(J, half) batched matmuls.  Numerics: the factorized form
+# never materializes the bf16-rounded xv, so it deviates from the
+# default chain at bf16 noise level (it is the MORE exact of the two).
+# Opt-in while that deviation is being qualified against the parity
+# suite; training kernels are untouched either way.
+VIEWFAC = bool(_os.environ.get('ANERF_VIEWFAC'))
 
 
 def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,

@@ -139,11 +139,42 @@ def _dot_nt(g, w):
                                preferred_element_type=jnp.float32)
 
 
+def _viewfac_dot(fac, wv):
+    """Factorized views contribution: ('fac', window (T, J) f32,
+    enc_blk (rpt, nblk*J) f32, rpt, S) x weight (nblk*J, half).
+
+    Computes window @ M_ray where M_ray[r, j, :] = sum_k
+    enc_blk[r, k*J+j] * wv[k*J+j, :] — algebraically equal to
+    (enc ⊙ rep(window)) @ wv without materializing the (T, nblk*J)
+    encoding (the 'relray' rows are constant along each ray).
+    Inputs to the final dot are cast bf16 to stay on the standard
+    quantization chain; the never-materialized xv makes this the more
+    exact of the two forms.
+    """
+    _, w_tile, enc_blk, rpt, S = fac
+    T, J = w_tile.shape
+    half = wv.shape[-1]
+    nblk = enc_blk.shape[-1] // J
+    wvf = wv.astype(jnp.float32)
+    M = jnp.zeros((rpt, J, half), jnp.float32)
+    for k in range(nblk):
+        M = M + (enc_blk[:, k * J:(k + 1) * J, None]
+                 * wvf[None, k * J:(k + 1) * J, :])
+    b16 = lambda a: a.astype(jnp.bfloat16)
+    wr = w_tile.reshape(rpt, S, J)
+    out = jax.lax.dot_general(
+        b16(wr), b16(M), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    return out.reshape(T, half)
+
+
 def _forward_tile(st: MLPStatic, xs, xvs, wrefs):
     """Shared fwd math on one tile; returns (acts, feat, hv, rgb, alpha).
 
     ``acts[i]`` is the bf16 post-ReLU activation of trunk layer i.
-    ``xs``/``xvs`` are the input part tiles (never concatenated).
+    ``xs``/``xvs`` are the input part tiles (never concatenated);
+    an xvs entry may be a ``('fac', ...)`` tuple consumed by
+    ``_viewfac_dot`` (per-ray view factorization).
     """
     it = iter(wrefs)
     nxt = lambda: next(it)[:]
@@ -168,7 +199,10 @@ def _forward_tile(st: MLPStatic, xs, xvs, wrefs):
     feat = (_dot(h, wf) + bf).astype(jnp.bfloat16)
     hv_pre = _dot(feat, nxt())
     for xvk in xvs:
-        hv_pre = hv_pre + _dot(xvk, nxt())
+        if isinstance(xvk, tuple) and xvk[0] == 'fac':
+            hv_pre = hv_pre + _viewfac_dot(xvk, nxt())
+        else:
+            hv_pre = hv_pre + _dot(xvk, nxt())
     hv_pre = hv_pre + nxt()
     hv = jnp.maximum(hv_pre, 0.).astype(jnp.bfloat16)
     wr, br = nxt(), nxt()
