@@ -128,6 +128,7 @@ def build_raycast_config(cfg: Config,
         view_type=cfg.view_type,
         bone_type=cfg.bone_type,
         opt_cutoff=cfg.opt_cutoff,
+        viewfac=cfg.viewfac,
     )
 
 

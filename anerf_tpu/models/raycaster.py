@@ -68,6 +68,16 @@ class RayCastConfig:
     # fused-kernel point-tile override; None = ops.pallas_encmlp
     # defaults (512, the measured train-path optimum on v5e)
     pallas_tile: Optional[int] = None
+    # per-ray view factorization in the fused kernels (BASELINE.md
+    # design note): xv @ Wv == window @ M_ray with M_ray built once per
+    # ray.  Same math as the default chain, slightly MORE exact (the
+    # bf16-rounded xv is never materialized).
+    viewfac: bool = False
+    # --- WRONG-MATH bench ablations (perf upper bounds; never ship a
+    # config with these on — bench.py flags are the only intended
+    # producers; were env vars (ANERF_ABLATE_*) before round 5) ---
+    ablate_merge: bool = False   # skip the coarse/fine rank permutation
+    ablate_xv: bool = False      # zero the view-encoding build
 
     def density_fn(self):
         return compositing.get_density_fn(self.density_type,
@@ -358,9 +368,7 @@ def render_rays(rc: RayCastConfig,
             z_vals, ret0['weights'], rc.N_importance,
             det=(rc.perturb == 0.), is_only=rc.single_net,
             rng=k_fine, u=fixed.get('fine_u'))
-        import os as _os
-        P = None if _os.environ.get('ANERF_ABLATE_MERGE') \
-            else _rank_perm(ranks)
+        P = None if rc.ablate_merge else _rank_perm(ranks)
         z_cat = jnp.concatenate([z_vals, z_samples], axis=-1)
         pts_is = rays_o[:, None] + rays_d[:, None] * z_samples[..., None]
         if rc.ray_noise_std > 0. and k_ray2 is not None:

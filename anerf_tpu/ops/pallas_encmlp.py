@@ -58,6 +58,10 @@ class EncStatic:
     has_codes: bool
     bone_windowed: bool = False     # --cutoff_bones (off in all configs)
     eps: float = 1e-12
+    # per-ray view factorization (rc.viewfac; see module tail note)
+    viewfac: bool = False
+    # WRONG-MATH perf-bound ablation (rc.ablate_xv): zero the xv build
+    ablate_xv: bool = False
 
 
 def _comp_major_perm(J: int) -> np.ndarray:
@@ -67,10 +71,15 @@ def _comp_major_perm(J: int) -> np.ndarray:
 
 
 def _doubling_freqs(freqs) -> bool:
-    """True iff every band doubles the previous (the log-sampled PE
-    grid 2^0..2^(F-1)), the precondition of the sin recurrence."""
-    return all(abs(freqs[k + 1] - 2. * freqs[k]) < 1e-6 * freqs[k + 1]
-               for k in range(len(freqs) - 1))
+    """True iff the grid is exactly 2^0..2^(F-1) — base 1 AND every band
+    doubling the previous — the precondition of the sin recurrence.
+    The base check matters: ``_encode_pullback`` hardcodes exp2(k//2)
+    band frequencies, so a doubling-but-offset grid (e.g. 0.5, 1, 2)
+    must fall back to the generic iota-built path or the forward
+    recurrence and the pullback would silently disagree."""
+    return bool(freqs) and abs(freqs[0] - 1.0) < 1e-6 and all(
+        abs(freqs[k + 1] - 2. * freqs[k]) < 1e-6 * freqs[k + 1]
+        for k in range(len(freqs) - 1))
 
 
 def _rep(a, k):
@@ -166,7 +175,7 @@ def _encode_fwd_res(est: EncStatic, p, enc_blk, cutoff, tau, bands=None,
     nbJ3 = est.view_nb * 3 * J
     if skip_xv:
         xv = None          # caller consumes the factorized form instead
-    elif _ABLATE_XV:
+    elif est.ablate_xv:
         # perf upper bound of the per-ray view factorization: skip the
         # xv build AND starve its matmul (wrong math, never ship)
         xv = jnp.zeros((T, nbJ3), jnp.float32)
@@ -270,7 +279,7 @@ def _fwd_kernel(st: MLPStatic, est: EncStatic, stash: bool, *refs):
     n_out = 2 if stash else 1
     wrefs, out_ref = refs[i + 2:len(refs) - n_out], refs[-n_out]
 
-    viewfac = VIEWFAC and not stash   # primal-only (eval) path
+    viewfac = est.viewfac and not stash   # primal-only (eval) path
     (v, r, xv), (_, w, bands, _) = _encode_fwd_res(est, p, enc_blk,
                                                    cutoff, tau,
                                                    skip_xv=viewfac)
@@ -573,7 +582,7 @@ def _fwd_kernel_dual(st: MLPStatic, est: EncStatic, stash: bool, *refs):
     n_out = 3 if stash else 2
     out_refs = (refs[-n_out], refs[-n_out + 1])
 
-    viewfac = VIEWFAC and not stash   # primal-only (eval) path
+    viewfac = est.viewfac and not stash   # primal-only (eval) path
     (v, r, xv), (_, w, bands, _) = _encode_fwd_res(est, p, enc_blk,
                                                    cutoff, tau,
                                                    skip_xv=viewfac)
@@ -853,18 +862,15 @@ STASH_DTYPE = (jnp.bfloat16 if _os.environ.get('ANERF_STASH_BF16')
 # 344 -> 384k (the wide (T, 2FJ) transcendental was the largest VPU
 # block in the forward kernel).  ANERF_NO_SINREC=1 reverts.
 SIN_RECURRENCE = not _os.environ.get('ANERF_NO_SINREC')
-_ABLATE_XV = bool(_os.environ.get('ANERF_ABLATE_XV'))
-# Per-ray view factorization for PRIMAL-ONLY (eval/render) forward
-# kernels: the 'relray' view encoding is constant along each ray, so
+# Per-ray view factorization (EncStatic.viewfac <- RayCastConfig.viewfac
+# <- Config.viewfac / bench.py --viewfac; an env var before round 5):
+# the 'relray' view encoding is constant along each ray, so
 # xv @ Wx == window @ M_ray with M_ray[j] = sum_blocks enc[.]*Wx[.]
 # (BASELINE.md design note).  Replaces the (T, 648)x(648, half) views
 # matmul (~10% of eval MACs) with a 27-block M build + per-ray
 # (S, J)x(J, half) batched matmuls.  Numerics: the factorized form
 # never materializes the bf16-rounded xv, so it deviates from the
 # default chain at bf16 noise level (it is the MORE exact of the two).
-# Opt-in while that deviation is being qualified against the parity
-# suite; training kernels are untouched either way.
-VIEWFAC = bool(_os.environ.get('ANERF_VIEWFAC'))
 
 
 def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
@@ -916,7 +922,9 @@ def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
                     view_nb=1 + 2 * rc.view_embed.num_freqs,
                     S=S, rpt=rpt,
                     has_codes=(nerf.use_framecode and cam_idxs is not None),
-                    bone_windowed=rc.bone_embed.cutoff)
+                    bone_windowed=rc.bone_embed.cutoff,
+                    viewfac=getattr(rc, 'viewfac', False),
+                    ablate_xv=getattr(rc, 'ablate_xv', False))
 
     # component-major flatten of pts_t: (R, S, J, 3) -> (n, 3J)
     if not cm:

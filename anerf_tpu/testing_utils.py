@@ -80,10 +80,13 @@ def synthetic_batch(n_rays: int, n_frames: int, kps, skts, bones, cyls,
 
 
 def build_flagship(n_rays: int = 2048, n_frames: int = 9,
-                   opt_pose: bool = True, **cfg_overrides):
+                   opt_pose: bool = True,
+                   rc_overrides: Optional[Dict] = None, **cfg_overrides):
     """Full SURREAL-recipe training setup on synthetic data.
 
-    Returns (setup, state, batch, train_step_fn).
+    ``rc_overrides`` patches RayCastConfig-only knobs (e.g. the
+    wrong-math bench ablations ablate_merge/ablate_xv) that have no
+    Config counterpart.  Returns (setup, state, batch, train_step_fn).
     """
     cfg = surreal_config(opt_pose=opt_pose, N_rand=n_rays,
                          opt_pose_step=20 if opt_pose else 1,
@@ -92,6 +95,9 @@ def build_flagship(n_rays: int = 2048, n_frames: int = 9,
     rest, bones, pelvis, kps, skts, cyls = synthetic_pose(
         n_frames, ext_scale=cfg.ext_scale)
     rc = build_raycast_config(cfg, n_framecodes=n_frames)
+    if rc_overrides:
+        import dataclasses
+        rc = dataclasses.replace(rc, **rc_overrides)
     setup = TrainSetup(cfg=cfg, rc=rc, skel=SMPLSkeleton,
                        rest_pose=jnp.asarray(rest),
                        anchors=P.make_anchors(kps, bones),

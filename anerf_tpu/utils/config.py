@@ -168,6 +168,12 @@ class Config:
     compute_dtype: str = 'float32'   # 'bfloat16' for MXU-friendly matmuls
     mlp_backend: str = 'auto'        # 'auto' | 'xla' | 'pallas' (fused kernel)
     remat: bool = True               # recompute encodings in backward
+    # per-ray view factorization inside the fused Pallas kernels: the
+    # 'relray' view encoding is constant along each ray, so the wide
+    # views matmul factorizes through a per-ray (J, W/2) matrix
+    # (BASELINE.md design note).  Same math, slightly MORE exact than
+    # the default (the bf16-rounded xv is never materialized).
+    viewfac: bool = False
     data_axis: str = 'data'          # mesh axis name for ray sharding
     n_devices: Optional[int] = None  # None = all visible devices
     # bundle k train steps into one compiled program (lax.scan): on

@@ -61,6 +61,28 @@ def model_flops_per_ray(params, n_samples: int, n_importance: int,
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--viewfac', action='store_true',
+                    help='per-ray view factorization in the fused '
+                         'kernels (correct math; BASELINE.md note)')
+    # WRONG-MATH perf-upper-bound ablations (formerly ANERF_ABLATE_*
+    # env vars); loud warning below so a stray flag cannot silently
+    # corrupt a headline number
+    ap.add_argument('--ablate_merge', action='store_true')
+    ap.add_argument('--ablate_xv', action='store_true')
+    args = ap.parse_args()
+    rc_overrides = {}
+    if args.viewfac:
+        rc_overrides['viewfac'] = True
+    for name in ('ablate_merge', 'ablate_xv'):
+        if getattr(args, name):
+            import warnings
+            warnings.warn(f'--{name}: WRONG-MATH ablation active — this '
+                          'bench result is a perf bound, not a real '
+                          'throughput', stacklevel=1)
+            rc_overrides[name] = True
+
     import jax
     # persistent compile cache: repeated bench runs (and the driver's)
     # skip the expensive remote compile entirely
@@ -75,7 +97,8 @@ def main():
 
     n_rays = 2048
     setup, state, batch, step_fn = T.build_flagship(
-        n_rays=n_rays, opt_pose=True, compute_dtype='bfloat16')
+        n_rays=n_rays, opt_pose=True, compute_dtype='bfloat16',
+        rc_overrides=rc_overrides or None)
 
     # step bundling (training.trainer.make_multi_train_step, the
     # run_train --steps_per_dispatch path): k scanned steps per
@@ -147,6 +170,10 @@ def main():
         eval_windows.append(
             round(n_rays * n_ev / (time.perf_counter() - t0), 1))
     eval_rays_per_sec = max(eval_windows)
+    # median alongside the max: typical stall-free throughput without
+    # digging into eval_windows (the max stays the headline — capability
+    # — per the BENCH_r03 root-cause note)
+    eval_median = sorted(eval_windows)[len(eval_windows) // 2]
 
     # --- sustained end-to-end run_train at 512^2 (host pipeline incl.)
     # Subprocess so its jax session is independent; tolerant: the
@@ -188,6 +215,7 @@ def main():
         'mfu': mfu,
         'model_tflops_per_sec': round(achieved / 1e12, 1),
         'eval_rays_per_sec': round(eval_rays_per_sec, 1),
+        'eval_rays_per_sec_median': round(eval_median, 1),
         'eval_windows': eval_windows,
         'sustained_e2e_rays_per_sec': sustained,
         'sustained_error': sustained_error,

@@ -222,6 +222,13 @@ def train(cfg):
                 logger.log_scalars(i, {'psnr': float(np.nanmean(m['psnr'])),
                                        'ssim': float(np.nanmean(m['ssim']))},
                                    prefix='Val/')
+                # per-eval txt appenders next to the val artifacts, the
+                # reference's artifact format (evaluation_helpers.py:
+                # 356-383: one mean value per line, appended per eval)
+                for name in ('psnr', 'ssim'):
+                    with open(os.path.join(logdir, f'{name}.txt'),
+                              'a') as f:
+                        f.write(f"{float(np.nanmean(m[name]))}\n")
                 print(f"[val {i}] psnr={np.nanmean(m['psnr']):.2f} "
                       f"ssim={np.nanmean(m['ssim']):.3f}")
             # skeleton overlays

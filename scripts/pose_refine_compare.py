@@ -41,6 +41,10 @@ def main():
     ap.add_argument('--eval_every', type=int, default=40)
     ap.add_argument('--bone_noise', type=float, default=0.04)
     ap.add_argument('--pelvis_noise', type=float, default=0.01)
+    ap.add_argument('--seed', type=int, default=0,
+                    help='sweep seed: offsets the perturbation draw, the '
+                         'batch stream, the init weights, and both '
+                         'trainers\' RNG (seed 0 == the round-4 run)')
     args = ap.parse_args()
 
     import h5py
@@ -90,7 +94,7 @@ def main():
     cfg = Config(dataset_type=('synthetic',), subject=('test',),
                  datadir=h5_path, N_sample_images=4, N_rand=args.n_rand,
                  n_iters=args.steps, num_workers=1, compute_dtype='float32',
-                 mlp_backend='xla', **FLAGS)
+                 mlp_backend='xla', seed=args.seed, **FLAGS)
 
     prefetcher, _, data_attrs = load_data(cfg)
     rest_pose = np.asarray(data_attrs['rest_pose'], np.float32)
@@ -98,7 +102,7 @@ def main():
     gt_bones = np.asarray(data_attrs['bones'], np.float32)
     n_frames = len(gt_kp3d)
 
-    rng = np.random.RandomState(42)
+    rng = np.random.RandomState(42 + args.seed)
     bones_p = gt_bones + rng.normal(
         scale=args.bone_noise, size=gt_bones.shape).astype(np.float32)
     pelvis_p = gt_kp3d[:, 0] + rng.normal(
@@ -189,6 +193,7 @@ def main():
     frac = float(np.mean([o <= r * 1.05
                           for o, r in zip(ours_traj, ref_traj)]))
     result = {
+        'seed': args.seed,
         'start_mm': round(start_mm, 2),
         'ours_end_mm': round(ours_end, 2),
         'ref_end_mm': round(ref_end, 2),
