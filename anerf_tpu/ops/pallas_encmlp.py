@@ -43,7 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_mlp import (MLPStatic, _const_spec, _dot_nt, _dot_tn,
                          _forward_tile, _is_tpu_backend, _mlp_flops,
-                         _num_weight_operands, _tile_spec, _weight_shapes)
+                         _num_weight_operands, _sum_blocks, _tile_spec,
+                         _viewfac_bwd, _weight_shapes, viewfac_operand)
 from .pallas_mlp import flatten_params as _flatten_plain
 
 
@@ -89,13 +90,8 @@ def _rep(a, k):
     return jnp.concatenate([a] * k, axis=-1)
 
 
-def _sum_blocks(a, width: int, k: int):
-    """Inverse of ``_rep``: fold (T, k*width) back to (T, width) by
-    summing the k column blocks (the pullback of a block-repeat)."""
-    acc = a[:, :width]
-    for i in range(1, k):
-        acc = acc + a[:, i * width:(i + 1) * width]
-    return acc
+# _sum_blocks (the inverse of ``_rep``) lives in pallas_mlp (shared
+# with the factorized views backward)
 
 
 def _encode_fwd_res(est: EncStatic, p, enc_blk, cutoff, tau, bands=None,
@@ -191,8 +187,14 @@ def _encode_tile(est: EncStatic, p, enc_blk, cutoff, tau):
 
 
 def _encode_pullback(est: EncStatic, p, enc_blk, res, tau,
-                     gv, gr, gxv):
+                     gv, gr, gxv, fac=None):
     """Hand-written VJP of ``_encode_fwd_res`` (f32 cotangents in).
+
+    ``fac``: optional (d_window (T, J), d_enc (rpt, nb*3J)) from the
+    factorized views backward (``_viewfac_bwd``) — replaces the xv
+    section below (``gxv`` is then ignored): the window cotangent adds
+    into g_w and d_enc IS denc (the factorization contracts the sample
+    axis inside the Gram matrix).
 
     Transcendental-free: ``jax.vjp`` re-emits a cos per sin band plus
     sigmoid/rsqrt derivatives (measured 1.4 ms/step at the flagship
@@ -245,14 +247,18 @@ def _encode_pullback(est: EncStatic, p, enc_blk, res, tau,
         * (dists > est.eps).astype(jnp.float32)
 
     # ---- xv = broadcast(enc_blk) * rep(rep(w,3), nb) ----
-    nbJ3 = est.view_nb * 3 * J
-    enc_flat = jnp.broadcast_to(enc_blk[:, None],
-                                (est.rpt, est.S, nbJ3)).reshape(-1, nbJ3)
-    w3 = _rep(w, 3)
-    g_enc_flat = gxv * _rep(w3, est.view_nb)
-    denc = g_enc_flat.reshape(est.rpt, est.S, nbJ3).sum(axis=1)
-    g_w = g_w + _sum_blocks(
-        _sum_blocks(gxv * enc_flat, 3 * J, est.view_nb), J, 3)
+    if fac is not None:
+        g_w = g_w + fac[0]
+        denc = fac[1]
+    else:
+        nbJ3 = est.view_nb * 3 * J
+        enc_flat = jnp.broadcast_to(enc_blk[:, None],
+                                    (est.rpt, est.S, nbJ3)).reshape(-1, nbJ3)
+        w3 = _rep(w, 3)
+        g_enc_flat = gxv * _rep(w3, est.view_nb)
+        denc = g_enc_flat.reshape(est.rpt, est.S, nbJ3).sum(axis=1)
+        g_w = g_w + _sum_blocks(
+            _sum_blocks(gxv * enc_flat, 3 * J, est.view_nb), J, 3)
 
     # ---- w = 1 - sigmoid(tau (d - cutoff)) ----
     sig = 1. - w
@@ -279,7 +285,7 @@ def _fwd_kernel(st: MLPStatic, est: EncStatic, stash: bool, *refs):
     n_out = 2 if stash else 1
     wrefs, out_ref = refs[i + 2:len(refs) - n_out], refs[-n_out]
 
-    viewfac = est.viewfac and not stash   # primal-only (eval) path
+    viewfac = est.viewfac
     (v, r, xv), (_, w, bands, _) = _encode_fwd_res(est, p, enc_blk,
                                                    cutoff, tau,
                                                    skip_xv=viewfac)
@@ -289,7 +295,8 @@ def _fwd_kernel(st: MLPStatic, est: EncStatic, stash: bool, *refs):
         # in-bwd recompute removes the wide sin from the backward
         refs[-1][:] = bands.astype(refs[-1].dtype)
     xs = [b16(v), b16(r)]
-    xvs = [('fac', w, enc_blk, est.rpt, est.S) if viewfac else b16(xv)]
+    xvs = [viewfac_operand(w, enc_blk, est.rpt, est.S)
+           if viewfac else b16(xv)]
     if est.has_codes:
         xvs.append(b16(_codes_tile(est, codes_blk, p.shape[0])))
     _, _, _, rgb, alpha = _forward_tile(st, xs, xvs, wrefs)
@@ -339,7 +346,18 @@ def _mlp_bwd_tile(st: MLPStatic, xs, xvs, wrefs, grefs, g):
     g_hv = _dot_nt(g_rgb_b, wr[:]) * (f32(hv) > 0)
     g_hv_b = b16(g_hv)
     g_feat = _dot_nt(g_hv_b, wvf[:])
-    g_xvs = [_dot_nt(g_hv_b, wvk[:]) for wvk in wvs]
+    # views-branch input cotangents; a ('fac', ...) operand backs
+    # through the per-ray factorization (d_window, d_enc) and yields
+    # its weight grad dWv here (consumed in the flatten-order loop)
+    g_xvs = []
+    fac_dWv = {}
+    for vi, (xvk, wvk) in enumerate(zip(xvs, wvs)):
+        if isinstance(xvk, tuple) and xvk[0] == 'fac':
+            d_window, d_enc, dWv = _viewfac_bwd(xvk, wvk[:], g_hv)
+            g_xvs.append(('facg', d_window, d_enc))
+            fac_dWv[vi] = dWv
+        else:
+            g_xvs.append(_dot_nt(g_hv_b, wvk[:]))
     g_feat_b = b16(g_feat)
     g_alpha_b = b16(g_alpha)
     g_a = _dot_nt(g_feat_b, wf[:]) + _dot_nt(g_alpha_b, wa[:])
@@ -379,8 +397,11 @@ def _mlp_bwd_tile(st: MLPStatic, xs, xvs, wrefs, grefs, g):
     add(next(git), _dot_tn(a_last, g_feat_b))
     add(next(git), jnp.sum(g_feat, axis=0, keepdims=True))
     add(next(git), _dot_tn(feat, g_hv_b))
-    for xvk in xvs:
-        add(next(git), _dot_tn(xvk, g_hv_b))
+    for vi, xvk in enumerate(xvs):
+        if vi in fac_dWv:
+            add(next(git), fac_dWv[vi])
+        else:
+            add(next(git), _dot_tn(xvk, g_hv_b))
     add(next(git), jnp.sum(g_hv, axis=0, keepdims=True))
     add(next(git), _dot_tn(hv, g_rgb_b))
     add(next(git), jnp.sum(g_rgb, axis=0, keepdims=True))
@@ -411,9 +432,13 @@ def _bwd_kernel(st: MLPStatic, est: EncStatic, *refs):
     f32 = lambda a: a.astype(jnp.float32)
 
     (v, r, xv), enc_res = _encode_fwd_res(est, p, enc_blk, cutoff, tau,
-                                          bands=bands_ref[:])
+                                          bands=bands_ref[:],
+                                          skip_xv=est.viewfac)
     xs = [b16(v), b16(r)]
-    xvs = [b16(xv)]
+    if est.viewfac:
+        xvs = [viewfac_operand(enc_res[1], enc_blk, est.rpt, est.S)]
+    else:
+        xvs = [b16(xv)]
     if est.has_codes:
         xvs.append(b16(_codes_tile(est, codes_blk, T)))
 
@@ -421,10 +446,18 @@ def _bwd_kernel(st: MLPStatic, est: EncStatic, *refs):
                                    g_ref[:].T)
 
     # --- encode backward: pull (dv, dr, dxv) to (dp, denc) ---
-    # cotangents round-trip bf16 (same quantization as the MLP path)
+    # cotangents round-trip bf16 (same quantization as the MLP path);
+    # the factorized views cotangents stay f32 (they are already the
+    # product of bf16-operand matmuls)
+    fac_g = None
+    gxv_in = jnp.zeros((T, 0), jnp.float32)
+    if est.viewfac:
+        fac_g = (g_xvs[0][1], g_xvs[0][2])
+    else:
+        gxv_in = f32(b16(g_xvs[0]))
     dp, denc = _encode_pullback(est, p, enc_blk, enc_res, tau,
                                 f32(b16(g_x_acc[0])), f32(b16(g_x_acc[1])),
-                                f32(b16(g_xvs[0])))
+                                gxv_in, fac=fac_g)
     dp_ref[:] = dp.astype(dp_ref.dtype)
     denc_ref[:] = denc.astype(denc_ref.dtype)
     if est.has_codes:
@@ -582,7 +615,7 @@ def _fwd_kernel_dual(st: MLPStatic, est: EncStatic, stash: bool, *refs):
     n_out = 3 if stash else 2
     out_refs = (refs[-n_out], refs[-n_out + 1])
 
-    viewfac = est.viewfac and not stash   # primal-only (eval) path
+    viewfac = est.viewfac
     (v, r, xv), (_, w, bands, _) = _encode_fwd_res(est, p, enc_blk,
                                                    cutoff, tau,
                                                    skip_xv=viewfac)
@@ -590,7 +623,8 @@ def _fwd_kernel_dual(st: MLPStatic, est: EncStatic, stash: bool, *refs):
     if stash:
         refs[-1][:] = bands.astype(refs[-1].dtype)
     xs = [b16(v), b16(r)]
-    xv_b = ('fac', w, enc_blk, est.rpt, est.S) if viewfac else b16(xv)
+    xv_b = (viewfac_operand(w, enc_blk, est.rpt, est.S)
+            if viewfac else b16(xv))
     T = p.shape[0]
     for net in range(2):
         xvs = [xv_b]
@@ -628,28 +662,45 @@ def _bwd_kernel_dual(st: MLPStatic, est: EncStatic, *refs):
 
     (v_f, r_f, xv_f), enc_res = _encode_fwd_res(est, p, enc_blk,
                                                 cutoff, tau,
-                                                bands=bands_ref[:])
-    xv = b16(xv_f)
+                                                bands=bands_ref[:],
+                                                skip_xv=est.viewfac)
     xs = [b16(v_f), b16(r_f)]
+    if est.viewfac:
+        xv_op = viewfac_operand(enc_res[1], enc_blk, est.rpt, est.S)
+        gw_tot = jnp.zeros((T, est.J), jnp.float32)
+        genc_tot = jnp.zeros_like(enc_blk)
+    else:
+        xv_op = b16(xv_f)
+        gxv_tot = jnp.zeros((T, st.vparts[0]), jnp.float32)
     gx_tot = [jnp.zeros((T, d), jnp.float32) for d in st.dparts]
-    gxv_tot = jnp.zeros((T, st.vparts[0]), jnp.float32)
     for net in range(2):
-        xvs = [xv]
+        xvs = [xv_op]
         if est.has_codes:
             xvs.append(b16(_codes_tile(est, codes[net], T)))
         g_x_acc, g_xvs = _mlp_bwd_tile(st, xs, xvs, wrefs_all[net],
                                        grefs[net], g_refs[net][:].T)
         gx_tot = [a + b for a, b in zip(gx_tot, g_x_acc)]
-        gxv_tot = gxv_tot + g_xvs[0]
+        if est.viewfac:
+            gw_tot = gw_tot + g_xvs[0][1]
+            genc_tot = genc_tot + g_xvs[0][2]
+        else:
+            gxv_tot = gxv_tot + g_xvs[0]
         if est.has_codes:
             dc = g_xvs[1].reshape(est.rpt, est.S, -1).sum(axis=1)
             dcodes_refs[net][:] = dc.astype(dcodes_refs[net].dtype)
 
     # both networks consume the same encoded tile -> cotangents add
-    # (bf16 round-trip matches the former vjp-through-bf16-cast path)
+    # (bf16 round-trip matches the former vjp-through-bf16-cast path;
+    # factorized views cotangents stay f32, see _bwd_kernel)
+    if est.viewfac:
+        fac_g = (gw_tot, genc_tot)
+        gxv_in = jnp.zeros((T, 0), jnp.float32)
+    else:
+        fac_g = None
+        gxv_in = f32(b16(gxv_tot))
     dp, denc = _encode_pullback(est, p, enc_blk, enc_res, tau,
                                 f32(b16(gx_tot[0])), f32(b16(gx_tot[1])),
-                                f32(b16(gxv_tot)))
+                                gxv_in, fac=fac_g)
     dp_ref[:] = dp.astype(dp_ref.dtype)
     denc_ref[:] = denc.astype(denc_ref.dtype)
 
@@ -925,6 +976,22 @@ def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
                     bone_windowed=rc.bone_embed.cutoff,
                     viewfac=getattr(rc, 'viewfac', False),
                     ablate_xv=getattr(rc, 'ablate_xv', False))
+    if est.viewfac:
+        # Per-kernel cost gate: the factorized forward costs
+        # rptJ*nblkJ (M build) + T*rptJ (xw@M) MACs per half-column
+        # vs T*nblkJ for the dense xv matmul, i.e. it wins only when
+        # the ray constant amortizes over enough samples:
+        # J*(nblkJ + tile) < S*nblkJ.  At the flagship recipe that is
+        # the coarse S=64/tile-512 kernels (0.67x); the fine-16 pass
+        # (rpt=32 -> rptJ=768 > 648) and the eval tile-1024 path
+        # (0.97x) LOSE and fall back to the dense form (measured:
+        # ungated viewfac cost eval 379k -> 371k rays/s).  0.9 margin
+        # covers the iota-mask build overhead.  The backward shares
+        # the gate (its tile equals the forward's by default, and the
+        # recompute must match the forward's operand form anyway).
+        nblkJ = est.view_nb * 3 * J
+        if J * (nblkJ + tile) >= 0.9 * S * nblkJ:
+            est = dataclasses.replace(est, viewfac=False)
 
     # component-major flatten of pts_t: (R, S, J, 3) -> (n, 3J)
     if not cm:

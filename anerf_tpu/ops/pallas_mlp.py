@@ -123,6 +123,15 @@ def flatten_params(net_params: Dict[str, Any], st: MLPStatic) -> List[jnp.ndarra
     return flat
 
 
+def _sum_blocks(a, width: int, k: int):
+    """Fold (T, k*width) to (T, width) by summing the k column blocks
+    (the pullback of a column-block repeat)."""
+    acc = a[:, :width]
+    for i in range(1, k):
+        acc = acc + a[:, i * width:(i + 1) * width]
+    return acc
+
+
 def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
@@ -139,33 +148,78 @@ def _dot_nt(g, w):
                                preferred_element_type=jnp.float32)
 
 
-def _viewfac_dot(fac, wv):
-    """Factorized views contribution: ('fac', window (T, J) f32,
-    enc_blk (rpt, nblk*J) f32, rpt, S) x weight (nblk*J, half).
+def viewfac_operand(w_tile, enc_blk, rpt: int, S: int):
+    """Build the factorized views operand (block-diagonal 2D form).
 
-    Computes window @ M_ray where M_ray[r, j, :] = sum_k
-    enc_blk[r, k*J+j] * wv[k*J+j, :] — algebraically equal to
-    (enc ⊙ rep(window)) @ wv without materializing the (T, nblk*J)
-    encoding (the 'relray' rows are constant along each ray).
-    Inputs to the final dot are cast bf16 to stay on the standard
-    quantization chain; the never-materialized xv makes this the more
-    exact of the two forms.
+    The 'relray' view encoding is constant along each ray, so
+    xv @ Wv == xw @ (E @ Wv) where (with T = rpt*S tile points,
+    J joints, b indexing the nblk*J encoding columns):
+      xw[t, r*J+j] = window[t, j] * [t//S == r]   (T, rpt*J)
+      E[(r,j), b]  = enc[r, b]    * [b%J  == j]   (rpt*J, nblk*J)
+    Everything is plain 2D iota masks, leading-dim broadcasts, and MXU
+    dots — Mosaic-friendly (the earlier per-ray 3D batched-dot form
+    did not lower: slice+newaxis gathers).  The factorization replaces
+    the (T, nblk*J) xv materialization + its 648-contraction matmuls
+    with 192-contraction block-diagonal ones (~1/3 the views MACs
+    fwd+bwd at the flagship shape).
+
+    Returns the ('fac', ...) tuple consumed by ``_viewfac_dot`` /
+    ``_viewfac_bwd`` in place of a dense xv tile.
     """
-    _, w_tile, enc_blk, rpt, S = fac
     T, J = w_tile.shape
-    half = wv.shape[-1]
-    nblk = enc_blk.shape[-1] // J
-    wvf = wv.astype(jnp.float32)
-    M = jnp.zeros((rpt, J, half), jnp.float32)
-    for k in range(nblk):
-        M = M + (enc_blk[:, k * J:(k + 1) * J, None]
-                 * wvf[None, k * J:(k + 1) * J, :])
+    nblkJ = enc_blk.shape[-1]
     b16 = lambda a: a.astype(jnp.bfloat16)
-    wr = w_tile.reshape(rpt, S, J)
-    out = jax.lax.dot_general(
-        b16(wr), b16(M), (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    return out.reshape(T, half)
+    # xw: window repeated per ray block, masked to own block
+    xw_rep = jnp.concatenate([w_tile] * rpt, axis=-1)          # (T, rptJ)
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, rpt * J), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (T, rpt * J), 0)
+    bmask = ((col // J) == (row // S)).astype(jnp.float32)
+    xw = b16(xw_rep * bmask)
+    # E: each ray's encoding row repeated J times, joint-matched cols
+    E_rep = jnp.broadcast_to(enc_blk[:, None],
+                             (rpt, J, nblkJ)).reshape(rpt * J, nblkJ)
+    ecol = jax.lax.broadcasted_iota(jnp.int32, (rpt * J, nblkJ), 1)
+    erow = jax.lax.broadcasted_iota(jnp.int32, (rpt * J, nblkJ), 0)
+    emask = ((ecol % J) == (erow % J)).astype(jnp.float32)
+    E = b16(E_rep * emask)
+    return ('fac', xw, E, bmask, emask, rpt, S, J)
+
+
+def _viewfac_dot(fac, wv):
+    """Factorized views contribution xw @ (E @ wv) — algebraically
+    equal to (enc ⊙ rep(window)) @ wv without materializing the
+    (T, nblk*J) encoding.  bf16 operands / f32 accumulation like the
+    default chain; the never-materialized xv makes this the more
+    exact of the two forms."""
+    _, xw, E, _, _, _, _, _ = fac
+    M = _dot(E, wv)                       # (rptJ, half) f32
+    return _dot(xw, M.astype(jnp.bfloat16))    # (T, half) f32
+
+
+def _viewfac_bwd(fac, wv, g_hv):
+    """Backward of the factorized views contribution.
+
+    Cotangents factor through the per-ray Gram matrix
+    Gw[(r,j), :] = sum_{t in ray r} window[t, j] * g_hv[t, :] = xw^T @ g_hv:
+      d_window[t, j] = g_hv[t, :] . M[(r(t), j), :]  (fold of g_hv @ M^T)
+      dWv[b, :]      = sum_r enc[r, b] * Gw[(r, j(b)), :] = E^T @ Gw
+      d_enc[r, b]    = wv[b, :] . Gw[(r, j(b)), :]   (fold of Gw @ wv^T)
+    Returns (d_window (T, J) f32, d_enc (rpt, nblk*J) f32,
+    dWv (nblk*J, half) f32).
+    """
+    _, xw, E, bmask, emask, rpt, S, J = fac
+    nblkJ = E.shape[-1]
+    b16 = lambda a: a.astype(jnp.bfloat16)
+    g_hv_b = b16(g_hv)
+    M = _dot(E, wv)                               # (rptJ, half)
+    Gw = _dot_tn(xw, g_hv_b)                           # (rptJ, half)
+    Gw_b = b16(Gw)
+    d_window = _sum_blocks(
+        _dot_nt(g_hv_b, b16(M)) * bmask, J, rpt)       # (T, J)
+    dWv = _dot_tn(E, Gw_b)                             # (nblkJ, half)
+    P0 = _dot_nt(Gw_b, wv) * emask                # (rptJ, nblkJ)
+    d_enc = P0.reshape(rpt, J, nblkJ).sum(axis=1)      # (rpt, nblkJ)
+    return d_window, d_enc, dWv
 
 
 def _forward_tile(st: MLPStatic, xs, xvs, wrefs):

@@ -172,8 +172,12 @@ class Config:
     # 'relray' view encoding is constant along each ray, so the wide
     # views matmul factorizes through a per-ray (J, W/2) matrix
     # (BASELINE.md design note).  Same math, slightly MORE exact than
-    # the default (the bf16-rounded xv is never materialized).
-    viewfac: bool = False
+    # the dense form (the bf16-rounded xv is never materialized).
+    # ON by default: +2.5% train throughput at the flagship recipe
+    # (121.6 -> 124.7k rays/s, round 5); a per-kernel cost gate in
+    # pallas_encmlp._build_call falls back to the dense form for
+    # shapes where the factorization loses (fine-16 pass, eval tiles).
+    viewfac: bool = True
     data_axis: str = 'data'          # mesh axis name for ray sharding
     n_devices: Optional[int] = None  # None = all visible devices
     # bundle k train steps into one compiled program (lax.scan): on

@@ -63,9 +63,10 @@ def model_flops_per_ray(params, n_samples: int, n_importance: int,
 def main():
     import argparse
     ap = argparse.ArgumentParser()
-    ap.add_argument('--viewfac', action='store_true',
+    ap.add_argument('--viewfac', choices=['on', 'off'], default=None,
                     help='per-ray view factorization in the fused '
-                         'kernels (correct math; BASELINE.md note)')
+                         'kernels (correct math; default: the Config '
+                         'default, ON since round 5)')
     # WRONG-MATH perf-upper-bound ablations (formerly ANERF_ABLATE_*
     # env vars); loud warning below so a stray flag cannot silently
     # corrupt a headline number
@@ -73,8 +74,8 @@ def main():
     ap.add_argument('--ablate_xv', action='store_true')
     args = ap.parse_args()
     rc_overrides = {}
-    if args.viewfac:
-        rc_overrides['viewfac'] = True
+    if args.viewfac is not None:
+        rc_overrides['viewfac'] = (args.viewfac == 'on')
     for name in ('ablate_merge', 'ablate_xv'):
         if getattr(args, name):
             import warnings
