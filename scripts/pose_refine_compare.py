@@ -45,6 +45,15 @@ def main():
                     help='sweep seed: offsets the perturbation draw, the '
                          'batch stream, the init weights, and both '
                          'trainers\' RNG (seed 0 == the round-4 run)')
+    # raw_noise_std=1.0 matches the reference's flagship recipes
+    # (configs/surreal/surreal.txt) and is REQUIRED for a meaningful
+    # multi-seed protocol: with relu density and no noise, init weight
+    # draws where raw sigma < 0 at every sample are dead forever
+    # (relu' = 0 -> zero density AND pose gradients; measured: seeds
+    # 3/4 froze at their start error for 800 steps in BOTH trainers
+    # under the round-4 --raw_noise_std 0 protocol).  Pass 0 to
+    # reproduce the round-4 tighter-paired (but degenerate-prone) runs.
+    ap.add_argument('--raw_noise_std', type=float, default=1.0)
     args = ap.parse_args()
 
     import h5py
@@ -83,7 +92,8 @@ def main():
         N_samples=32, N_importance=8,
         loss_fn='MSE', use_background=True, coarse_weight=1.0,
         lrate=5e-4, lrate_decay=500, lrate_decay_rate=0.1,
-        decay_unit=1000, perturb=1.0, raw_noise_std=0.,
+        decay_unit=1000, perturb=1.0,
+        raw_noise_std=float(args.raw_noise_std),
         cutoff_step=1, cutoff_rate=10.0,
         opt_pose=True, opt_pose_step=2, opt_pose_lrate=1e-3,
         opt_pose_coef=0.05,

@@ -44,6 +44,12 @@ def main():
     # still, as any NeRF pose refinement would).
     ap.add_argument('--bone_noise', type=float, default=0.04)
     ap.add_argument('--pelvis_noise', type=float, default=0.01)
+    # Scale blob_radius WITH --size (e.g. 4 at 256) to keep the scene a
+    # literal upsampling of the 128-px protocol: focal is 0.8*W, so
+    # doubling both keeps the perturbation the same fraction of blob
+    # size — the round-4 256px divergence was a fixed 2-px blob
+    # shrinking relative to the (pixel-space) perturbation.
+    ap.add_argument('--blob_radius', type=int, default=2)
     ap.add_argument('--mlp_backend', type=str, default='auto')
     ap.add_argument('--min_psnr_gain', type=float, default=3.0)
     # measured on v5e: 2000 steps give a ~23% drop (46.7 -> 35.7 mm),
@@ -91,7 +97,8 @@ def main():
     # tens of pixels apart — the photometric loss can actually carry
     # pose information (the smoke-test default body is sub-pixel)
     make_synthetic_h5(h5_path, n_frames=args.n_frames, H=args.size,
-                      W=args.size, body_scale=450.0, blob_radius=2)
+                      W=args.size, body_scale=450.0,
+                      blob_radius=args.blob_radius)
     # concentrate pixel sampling near the person (the real recipes train
     # inside sampling_masks; the CI-oriented writer leaves them all-ones)
     with h5py.File(h5_path, 'r+') as f:
