@@ -34,12 +34,18 @@ def main():
     est = embed_state(setup.cfg, setup.rc, 0)
     pose = {k: batch[k] for k in ('kps', 'skts', 'bones', 'cyls')}
 
-    variants = [('xla', None)]
+    variants = [('xla', None, False)]
     for tile in (512, 1024, 2048, 4096):
-        variants.append((f'pallas_t{tile}', tile))
+        variants.append((f'pallas_t{tile}', tile, False))
+    # viewfac at the smaller tile: the per-kernel cost gate excludes
+    # tile 1024 (0.97x) but tile 512 factorizes at 0.67x views MACs —
+    # whether that beats the bigger tile's DMA efficiency is measured
+    # here, not assumed
+    variants += [('pallas_t512_viewfac', 512, True),
+                 ('pallas_t1024_viewfac', 1024, True)]
 
     results = {}
-    for name, tile in variants:
+    for name, tile, viewfac in variants:
         rc = setup.rc.eval_variant()
         if tile is None:
             # force the XLA path: build_flagship's 'auto' resolves to
@@ -47,8 +53,11 @@ def main():
             # pallas-default-tile run
             rc = dataclasses.replace(rc, mlp_backend='xla')
         else:
-            rc = dataclasses.replace(rc, mlp_backend='pallas')
-            PE.DEFAULT_TILE = tile
+            # eval_variant pins pallas_tile (which overrides
+            # PE.DEFAULT_TILE — the old module-global override was
+            # silently dead), so replace the field itself
+            rc = dataclasses.replace(rc, mlp_backend='pallas',
+                                     pallas_tile=tile, viewfac=viewfac)
 
         def chunk_fn(params, rays_o, rays_d, pose, cam_idxs, rc=rc):
             out = render_rays(rc, params, rays_o, rays_d, 0.0, 1.0,

@@ -72,6 +72,34 @@ def test_viewfac_matches_default_forward():
             k, np.max(np.abs(ref - got)), scale)
 
 
+def test_viewfac_cost_gate():
+    """The per-kernel cost gate engages the factorization exactly where
+    it wins (J*(nblkJ+tile) < 0.9*S*nblkJ): coarse S=64/tile-512 yes;
+    fine S=16 and eval tile-1024 no (measured losers, BASELINE.md r5)."""
+    rc, params, batch, est, pose = build()
+    rc = dataclasses.replace(rc, viewfac=True)
+    R = 32   # big enough that the tile-shrink loop keeps tile 1024
+
+    def gate(S, tile):
+        pts_t = jnp.zeros((R, S, 3 * rc.n_joints))
+        built = PE._build_call(rc, pts_t, jnp.zeros((R, 72)),
+                               params['cutoff_dist'], 100.0, None,
+                               None, tile, cm=True)
+        assert built is not None
+        return built[1].viewfac
+
+    assert gate(64, 512)          # coarse train kernels: 0.67x MACs
+    assert not gate(16, 512)      # fine-16 pass: rptJ 768 > nblkJ 648
+    assert not gate(64, 1024)     # eval tile: 0.97x — not worth it
+    # rc.viewfac=False never engages regardless of shape
+    rc_off = dataclasses.replace(rc, viewfac=False)
+    pts_t = jnp.zeros((R, 64, 72))
+    built = PE._build_call(rc_off, pts_t, jnp.zeros((R, 72)),
+                           params['cutoff_dist'], 100.0, None,
+                           None, 512, cm=True)
+    assert not built[1].viewfac
+
+
 def test_viewfac_matches_default_gradients():
     """TRAIN-path parity of the factorized views branch: gradients of
     the full fused fwd+bwd (dual kernel, bands stash, encode pullback)
