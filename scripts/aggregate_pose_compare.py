@@ -24,6 +24,13 @@ def main():
     floors = [r for r in runs if r['start_mm'] <= 1]
 
     margins = [round(r['ref_end_mm'] - r['ours_end_mm'], 2) for r in seeds]
+    # smoothed endpoint: mean of the last 5 checkpoints — under the
+    # noise protocol a single endpoint is one draw from a ~6 mm band
+    ours_s = [round(float(np.mean(r['ours_traj_mm'][-5:])), 2)
+              for r in seeds]
+    ref_s = [round(float(np.mean(r['ref_traj_mm'][-5:])), 2)
+             for r in seeds]
+    margins_s = [round(b - a, 2) for a, b in zip(ours_s, ref_s)]
     fracs = [r['ours_not_worse_frac'] for r in seeds]
     # pooled per-checkpoint comparison across seeds (skip the shared
     # start point of each trajectory)
@@ -48,6 +55,11 @@ def main():
         'ref_end_mm': [r['ref_end_mm'] for r in seeds],
         'end_margin_mm_ref_minus_ours': margins,
         'median_end_margin_mm': round(float(np.median(margins)), 2),
+        'ours_end_smoothed_mm': ours_s,
+        'ref_end_smoothed_mm': ref_s,
+        'smoothed_end_margin_mm': margins_s,
+        'median_smoothed_end_margin_mm':
+            round(float(np.median(margins_s)), 2),
         'ours_not_worse_frac_per_seed': fracs,
         'pooled_checkpoint_frac_ours_not_worse':
             round(float(np.mean(pooled)), 3),
