@@ -66,10 +66,10 @@ def main():
         'runs_800': seeds,
     }
     if longs:
-        r = longs[0]
-        out['long_run'] = {k: r[k] for k in
-                           ('seed', 'steps', 'start_mm', 'ours_end_mm',
-                            'ref_end_mm', 'ours_traj_mm', 'ref_traj_mm')}
+        out['long_runs'] = [
+            {k: r[k] for k in ('seed', 'steps', 'start_mm', 'ours_end_mm',
+                               'ref_end_mm', 'ours_traj_mm', 'ref_traj_mm')}
+            for r in longs]
     if floors:
         f = floors[0]
         out['equilibrium_floor'] = {
@@ -87,11 +87,11 @@ def main():
             'ref_floor_traj_mm': f['ref_traj_mm'],
         }
         if longs:
-            r = longs[0]
-            out['equilibrium_floor']['refined_over_floor_ratio'] = {
-                'ours': round(r['ours_end_mm'] / f['ours_end_mm'], 2),
-                'ref': round(r['ref_end_mm'] / f['ref_end_mm'], 2),
-            }
+            out['equilibrium_floor']['refined_over_floor_ratio'] = [
+                {'seed': r['seed'],
+                 'ours': round(r['ours_end_mm'] / f['ours_end_mm'], 2),
+                 'ref': round(r['ref_end_mm'] / f['ref_end_mm'], 2)}
+                for r in longs]
     print(json.dumps(out))
 
 
