@@ -990,7 +990,9 @@ def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
         # the gate (its tile equals the forward's by default, and the
         # recompute must match the forward's operand form anyway).
         nblkJ = est.view_nb * 3 * J
-        if J * (nblkJ + tile) >= 0.9 * S * nblkJ:
+        if J * (nblkJ + tile) >= 0.9 * S * nblkJ or est.ablate_xv:
+            # ablate_xv measures the dense xv build's cost — it must
+            # run the dense path or the ablation silently no-ops
             est = dataclasses.replace(est, viewfac=False)
 
     # component-major flatten of pts_t: (R, S, J, 3) -> (n, 3J)
