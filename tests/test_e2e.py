@@ -51,6 +51,12 @@ def test_train_and_render_cli(workdir):
     from anerf_tpu.utils.logging import read_tb_tags
     tags = read_tb_tags(logdir)
     assert 'Val/RGB' in tags and 'Val/Disp' in tags, tags
+    # per-eval txt appenders, the reference's artifact format
+    # (evaluation_helpers.py:356-383: one mean value per line)
+    for name in ('psnr', 'ssim'):
+        path = os.path.join(logdir, f'{name}.txt')
+        assert os.path.exists(path), path
+        assert len(open(path).read().strip().splitlines()) >= 1
 
     # resume: train a few more steps from the checkpoint
     cfg2 = load_config(os.path.join(os.path.dirname(__file__), '..',
