@@ -73,6 +73,12 @@ class RayCastConfig:
     # ray.  Same math as the default chain, slightly MORE exact (the
     # bf16-rounded xv is never materialized).
     viewfac: bool = False
+    # in-kernel rigid transform (ops/pallas_encmlp.tform_rows): the
+    # fused kernels take per-ray affine rows A + z*B and apply the
+    # skeleton-relative transform in VMEM — the (n, 3J) pts_t tensor
+    # never exists in HBM.  Opt-in MEASURED REJECTION on v5e (train
+    # -5%, eval tied; see Config.fuse_tform / BASELINE.md round 5).
+    fuse_tform: bool = False
     # --- WRONG-MATH bench ablations (perf upper bounds; never ship a
     # config with these on — bench.py flags are the only intended
     # producers; were env vars (ANERF_ABLATE_*) before round 5) ---
@@ -290,37 +296,53 @@ def render_rays(rc: RayCastConfig,
                 rays_t_norm,
                 [float(f) for f in rc.view_embed.freq_bands()],
                 rc.n_joints).astype(jnp.float32)
+            # in-kernel rigid transform: the per-ray affine rows
+            # A + z*B (ops/pallas_encmlp.tform_rows) are built ONCE
+            # (shared by the coarse-pass and fine-pass kernel calls,
+            # like enc_ray) and the kernels take only the z values —
+            # requires points exactly on the ray, so ray_noise (a
+            # per-POINT 3D jitter) disables it
+            use_ft = rc.fuse_tform and rc.ray_noise_std == 0.
+            tf_rows = (PE.tform_rows(skts, rays_o, rays_d)
+                       if use_ft else None)
 
-            def fused_net(net_params, q_pts):  # noqa: E306
+            def _prep(q_pts):  # noqa: E306
+                if use_ft:
+                    return None   # the kernel works from z directly
                 # component-major transform: the kernel's (n, 3J)
                 # flatten is then a free bitcast (no transpose copy)
-                pts_cm = encoders.transform_batch_pts_cm(q_pts, skts)
-                pts_cm = pts_cm.astype(jnp.float32)
-                return PE.nerf_encmlp_pallas(
-                    net_params, rc, pts_cm, rays_t_norm, cutoff_sg, tau_in,
-                    cam_idxs if rc.nerf.use_framecode else None,
-                    tile=rc.pallas_tile, cm=True, enc_ray=enc_ray)
+                return encoders.transform_batch_pts_cm(
+                    q_pts, skts).astype(jnp.float32)
 
-            def fused_dual(q_pts):  # noqa: E306
+            def fused_net(net_params, q_pts, q_z):  # noqa: E306
+                return PE.nerf_encmlp_pallas(
+                    net_params, rc, _prep(q_pts), rays_t_norm,
+                    cutoff_sg, tau_in,
+                    cam_idxs if rc.nerf.use_framecode else None,
+                    tile=rc.pallas_tile, cm=not use_ft,
+                    enc_ray=enc_ray, tf_rows=tf_rows,
+                    z_vals=q_z if use_ft else None)
+
+            def fused_dual(q_pts, q_z):  # noqa: E306
                 # coarse + fine nets on the same points, one kernel:
                 # the encode (fwd) and its pullback (bwd) are shared
-                pts_cm = encoders.transform_batch_pts_cm(q_pts, skts)
-                pts_cm = pts_cm.astype(jnp.float32)
                 return PE.nerf_encmlp_dual_pallas(
-                    params['coarse'], params['fine'], rc, pts_cm,
+                    params['coarse'], params['fine'], rc, _prep(q_pts),
                     rays_t_norm, cutoff_sg, tau_in,
                     cam_idxs if rc.nerf.use_framecode else None,
-                    tile=rc.pallas_tile, cm=True, enc_ray=enc_ray)
+                    tile=rc.pallas_tile, cm=not use_ft,
+                    enc_ray=enc_ray, tf_rows=tf_rows,
+                    z_vals=q_z if use_ft else None)
 
     enc_cache: Dict[str, Any] = {}
 
-    def run_pass(net_params, q_pts, key):
+    def run_pass(net_params, q_pts, key, q_z=None):
         """Returns (raw, rows): ``rows=True`` means channel-major
         (4, R, S) straight from the fused kernel's transposed output
         (free per-channel (R, S) views; the dense (R, S, 4) layout
         forces XLA relayout copies around compositing)."""
         if fused_net is not None:
-            raw_out = fused_net(net_params, q_pts)
+            raw_out = fused_net(net_params, q_pts, q_z)
             if raw_out is not None:
                 return raw_out, True
         if key not in enc_cache:  # reuse encodings across coarse/fine nets
@@ -346,14 +368,14 @@ def render_rays(rc: RayCastConfig,
     rows_c_pre = False
     if (fused_dual is not None and rc.N_importance > 0
             and not rc.single_net and params.get('fine') is not None):
-        duo = fused_dual(pts)
+        duo = fused_dual(pts, z_vals)
         if duo is not None:
             raw, raw_c_pre = duo
             rows = rows_c_pre = True
         else:
-            raw, rows = run_pass(params['coarse'], pts, 'coarse')
+            raw, rows = run_pass(params['coarse'], pts, 'coarse', z_vals)
     else:
-        raw, rows = run_pass(params['coarse'], pts, 'coarse')
+        raw, rows = run_pass(params['coarse'], pts, 'coarse', z_vals)
 
     noise = fixed.get('coarse_noise')
     if noise is None and rc.raw_noise_std > 0. and k_cnoise is not None:
@@ -388,11 +410,14 @@ def render_rays(rc: RayCastConfig,
             if raw_c_pre is not None:
                 raw_c, rows_f = raw_c_pre, rows_c_pre
             else:
-                raw_c, rows_f = run_pass(fine_params, pts, 'coarse')
-            raw_n, rows_n = run_pass(fine_params, pts_is, 'fine')
+                raw_c, rows_f = run_pass(fine_params, pts, 'coarse',
+                                         z_vals)
+            raw_n, rows_n = run_pass(fine_params, pts_is, 'fine',
+                                     z_samples)
         else:
             raw_c, rows_f = raw, rows
-            raw_n, rows_n = run_pass(fine_params, pts_is, 'fine')
+            raw_n, rows_n = run_pass(fine_params, pts_is, 'fine',
+                                     z_samples)
 
         noise = fixed.get('fine_noise')
         if noise is None and rc.raw_noise_std > 0. and k_fnoise is not None:

@@ -61,6 +61,11 @@ class EncStatic:
     eps: float = 1e-12
     # per-ray view factorization (rc.viewfac; see module tail note)
     viewfac: bool = False
+    # in-kernel rigid transform (rc.fuse_tform): the kernel takes WORLD
+    # points (n, 3) + per-ray transform rows (R, 4*3J) and applies the
+    # skeleton-relative transform in VMEM instead of reading the
+    # materialized (n, 3J) pts_t from HBM (see ``_apply_tform``)
+    fuse_tform: bool = False
     # WRONG-MATH perf-bound ablation (rc.ablate_xv): zero the xv build
     ablate_xv: bool = False
 
@@ -69,6 +74,69 @@ def _comp_major_perm(J: int) -> np.ndarray:
     """perm[i] = joint-major row for component-major index i."""
     comp, j = np.divmod(np.arange(3 * J), J)
     return (j * 3 + comp).astype(np.int32)
+
+
+def tform_rows(skts: jnp.ndarray, rays_o: jnp.ndarray,
+               rays_d: jnp.ndarray) -> jnp.ndarray:
+    """Per-ray rigid transform REDUCED along the ray (the key identity
+    of ``EncStatic.fuse_tform``): sample points are ``o + z*d``, so the
+    component-major local coords collapse to a per-ray affine in the
+    scalar z —
+
+        p[t, c] = W[r] @ (o[r] + z[t] d[r]) + t[r]
+                = A[r, c] + z[t] * B[r, c]
+
+    with ``A = W @ o + t`` and ``B = W @ d`` (R-sized host math).
+    Returns (R, 2, 3J) f32 ``[A; B]`` rows.  The kernel then applies
+    the transform as one broadcast FMA per tile (``_apply_tform``) and
+    neither the world points NOR the (n, 3J) pts_t tensor (37 MB/step
+    at the flagship recipe) ever exists in HBM.
+
+    Same math as encoders.transform_batch_pts_cm (reference
+    core/encoders.py:8-23) composed with the ray equation
+    (reference ray_utils.py sample points).
+    """
+    R, J = skts.shape[0], skts.shape[1]
+    rot = skts[..., :3, :3]
+    # rows ordered (c, j) component-major: (R, 3J, 3)
+    rcat = rot.transpose(0, 2, 1, 3).reshape(R, 3 * J, 3)
+    tcat = skts[..., :3, 3].transpose(0, 2, 1).reshape(R, 3 * J)
+    o = rays_o.astype(jnp.float32)
+    d = rays_d.astype(jnp.float32)
+    A = jnp.einsum('rcd,rd->rc', rcat, o) + tcat
+    B = jnp.einsum('rcd,rd->rc', rcat, d)
+    return jnp.stack([A, B], axis=1).astype(jnp.float32)
+
+
+def _apply_tform(est: EncStatic, a_blk, b_blk, z_blk):
+    """In-VMEM rigid transform: per-ray z values (rpt, S) ->
+    component-major local coords (T, 3J) via the per-ray affine
+    ``A + z * B`` — two leading-dim row broadcasts (the enc_blk
+    pattern) and one lane-broadcast FMA.  A and B arrive as SEPARATE
+    2D (rpt, 3J) operands (the enc_ray layout class): a stacked
+    (rpt, 2, 3J) operand gets the narrow T(2,128) tiling and its
+    fine-grained DMA."""
+    C = 3 * est.J
+    shape = (est.rpt, est.S, C)
+    A = jnp.broadcast_to(a_blk[:, None], shape)
+    B = jnp.broadcast_to(b_blk[:, None], shape)
+    z = jnp.broadcast_to(z_blk[:, :, None], shape)
+    return (A + B * z).reshape(-1, C)
+
+
+def _tform_pullback(tf, z, dp):
+    """HOST-side VJP of the in-kernel affine ``p = A + z*B``: the
+    backward kernel writes the full dp (n, 3J) cotangent to HBM (as in
+    the non-fused path) and XLA contracts it here — MXU batched dots,
+    measured ~0.8 ms/step cheaper than the same reductions inside the
+    VMEM-pressured backward kernel.  Returns (g_z (R, S),
+    g_ab (R, 2, 3J))."""
+    R, S = z.shape
+    dp3 = dp.reshape(R, S, dp.shape[-1])
+    g_A = dp3.sum(axis=1)
+    g_B = jnp.einsum('rsc,rs->rc', dp3, z)
+    g_z = jnp.einsum('rsc,rc->rs', dp3, tf[:, 1])
+    return g_z, jnp.stack([g_A, g_B], axis=1)
 
 
 def _doubling_freqs(freqs) -> bool:
@@ -278,9 +346,13 @@ def _codes_tile(est: EncStatic, codes_blk, T):
 
 
 def _fwd_kernel(st: MLPStatic, est: EncStatic, stash: bool, *refs):
-    i = 2 + (1 if est.has_codes else 0)
+    i = 2 + (2 if est.fuse_tform else 0) + (1 if est.has_codes else 0)
     p, enc_blk = refs[0][:], refs[1][:]
-    codes_blk = refs[2][:] if est.has_codes else None
+    j = 2
+    if est.fuse_tform:
+        p = _apply_tform(est, refs[j][:], refs[j + 1][:], p)
+        j += 2
+    codes_blk = refs[j][:] if est.has_codes else None
     cutoff, tau = refs[i][:], refs[i + 1][0, 0]
     n_out = 2 if stash else 1
     wrefs, out_ref = refs[i + 2:len(refs) - n_out], refs[-n_out]
@@ -409,10 +481,15 @@ def _mlp_bwd_tile(st: MLPStatic, xs, xvs, wrefs, grefs, g):
 
 
 def _bwd_kernel(st: MLPStatic, est: EncStatic, *refs):
-    n_in = 2 + (1 if est.has_codes else 0)
+    n_in = 2 + (2 if est.fuse_tform else 0) + (1 if est.has_codes else 0)
     n_w = _num_weight_operands(st)
-    p, enc_blk = refs[0][:], refs[1][:]
-    codes_blk = refs[2][:] if est.has_codes else None
+    pts_blk, enc_blk = refs[0][:], refs[1][:]
+    j = 2
+    a_blk = b_blk = None
+    if est.fuse_tform:
+        a_blk, b_blk = refs[j][:], refs[j + 1][:]
+        j += 2
+    codes_blk = refs[j][:] if est.has_codes else None
     cutoff, tau = refs[n_in][:], refs[n_in + 1][0, 0]
     g_ref = refs[n_in + 2]
     bands_ref = refs[n_in + 3]
@@ -420,7 +497,12 @@ def _bwd_kernel(st: MLPStatic, est: EncStatic, *refs):
     orefs = refs[n_in + 4 + n_w:]
     dp_ref, denc_ref = orefs[0], orefs[1]
     dcodes_ref = orefs[2] if est.has_codes else None
-    grefs = orefs[n_in:]
+    grefs = orefs[2 + (1 if est.has_codes else 0):]
+    # recompute the component-major local coords from (z, A, B); the
+    # transform PULLBACK stays outside the kernel (dp goes to HBM and
+    # XLA contracts it — in-kernel reductions measured ~0.8 ms slower)
+    p = (_apply_tform(est, a_blk, b_blk, pts_blk) if est.fuse_tform
+         else pts_blk)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -476,21 +558,33 @@ def _rawT_spec(tile):
                         memory_space=pltpu.VMEM)
 
 
+def _pts_spec(st: MLPStatic, est: EncStatic, J: int):
+    """First operand: per-ray z values (rpt, S) under fuse_tform, else
+    the materialized component-major pts_t (tile, 3J)."""
+    if est.fuse_tform:
+        return _block_spec(est.rpt, est.S)
+    return _tile_spec(st.tile, 3 * J)
+
+
 def _in_specs(st: MLPStatic, est: EncStatic, J: int):
-    specs = [_tile_spec(st.tile, 3 * J),                  # pts_t
+    specs = [_pts_spec(st, est, J),                       # pts / pts_t
              _block_spec(est.rpt, est.view_nb * 3 * J)]   # enc_ray
+    if est.fuse_tform:
+        specs += [_block_spec(est.rpt, 3 * J)] * 2        # A, B rows
     if est.has_codes:
         specs.append(_block_spec(est.rpt, st.vparts[1]))
     specs += [_const_spec((1, J)), _const_spec((1, 1))]   # cutoff, tau
     return specs
 
 
-def _fused_call(st, est, p, enc_ray, codes, cutoff, tau, flat,
+def _fused_call(st, est, p, enc_ray, tf, codes, cutoff, tau, flat,
                 stash: bool):
-    n = p.shape[0]
+    # under fuse_tform ``p`` is the per-ray z values (R, S)
+    n = p.shape[0] * (est.S if est.fuse_tform else 1)
     grid = (n // st.tile,)
     J = est.J
-    args = [p, enc_ray] + ([codes] if est.has_codes else []) \
+    args = [p, enc_ray] + ([tf[:, 0], tf[:, 1]] if est.fuse_tform else []) \
+        + ([codes] if est.has_codes else []) \
         + [cutoff, tau] + list(flat)
     nb = 2 * len(est.kp_freqs) * J
     out_specs = [_rawT_spec(st.tile)]
@@ -498,6 +592,8 @@ def _fused_call(st, est, p, enc_ray, codes, cutoff, tau, flat,
     if stash:
         out_specs.append(_tile_spec(st.tile, nb))
         out_shape.append(jax.ShapeDtypeStruct((n, nb), STASH_DTYPE))
+    in_bytes = (enc_ray.shape[0] * (est.S + 2 * 3 * J) * 4
+                if est.fuse_tform else n * 3 * J * 4)
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, st, est, stash),
         grid=grid,
@@ -507,7 +603,7 @@ def _fused_call(st, est, p, enc_ray, codes, cutoff, tau, flat,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=_mlp_flops(st, n),
-            bytes_accessed=n * 3 * J * 4 + n * 16,
+            bytes_accessed=in_bytes + n * 16,
             transcendentals=n * (2 * len(est.kp_freqs) + 2) * J),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -517,17 +613,17 @@ def _fused_call(st, est, p, enc_ray, codes, cutoff, tau, flat,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _fused(st: MLPStatic, est: EncStatic, p, enc_ray, codes, cutoff, tau,
-           flat):
+def _fused(st: MLPStatic, est: EncStatic, p, enc_ray, tf, codes, cutoff,
+           tau, flat):
     # primal-only calls (eval/render) skip the bands stash entirely
-    return _fused_call(st, est, p, enc_ray, codes, cutoff, tau, flat,
+    return _fused_call(st, est, p, enc_ray, tf, codes, cutoff, tau, flat,
                        stash=False)[0]
 
 
-def _fused_fwd(st, est, p, enc_ray, codes, cutoff, tau, flat):
-    out, bands = _fused_call(st, est, p, enc_ray, codes, cutoff, tau,
+def _fused_fwd(st, est, p, enc_ray, tf, codes, cutoff, tau, flat):
+    out, bands = _fused_call(st, est, p, enc_ray, tf, codes, cutoff, tau,
                              flat, stash=True)
-    return out, (p, enc_ray, codes, cutoff, tau, flat, bands)
+    return out, (p, enc_ray, tf, codes, cutoff, tau, flat, bands)
 
 
 def _bwd_statics(st, est):
@@ -540,15 +636,14 @@ def _bwd_statics(st, est):
 
 
 def _fused_bwd(st, est, res, g):
-    p, enc_ray, codes, cutoff, tau, flat, bands = res
+    p, enc_ray, tf, codes, cutoff, tau, flat, bands = res
     st, est = _bwd_statics(st, est)
-    n = p.shape[0]
+    n = p.shape[0] * (est.S if est.fuse_tform else 1)
     grid = (n // st.tile,)
     J = est.J
     nb = 2 * len(est.kp_freqs) * J
     gshapes = _weight_shapes(st)
-    n_rays = enc_ray.shape[0]
-    out_shape = [jax.ShapeDtypeStruct(p.shape, p.dtype),
+    out_shape = [jax.ShapeDtypeStruct((n, 3 * J), jnp.float32),
                  jax.ShapeDtypeStruct(enc_ray.shape, enc_ray.dtype)]
     out_specs = [_tile_spec(st.tile, 3 * J),
                  _block_spec(est.rpt, est.view_nb * 3 * J)]
@@ -557,8 +652,11 @@ def _fused_bwd(st, est, res, g):
         out_specs.append(_block_spec(est.rpt, st.vparts[1]))
     out_shape += [jax.ShapeDtypeStruct(s, jnp.float32) for s, _ in gshapes]
     out_specs += [_const_spec(s) for s, _ in gshapes]
-    args = [p, enc_ray] + ([codes] if est.has_codes else []) \
+    args = [p, enc_ray] + ([tf[:, 0], tf[:, 1]] if est.fuse_tform else []) \
+        + ([codes] if est.has_codes else []) \
         + [cutoff, tau, g.astype(jnp.float32), bands] + list(flat)
+    in_bytes = (2 * enc_ray.shape[0] * (est.S + 2 * 3 * J) * 4
+                if est.fuse_tform else 2 * n * 3 * J * 4)
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, st, est),
         grid=grid,
@@ -569,7 +667,7 @@ def _fused_bwd(st, est, res, g):
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=3 * _mlp_flops(st, n),
-            bytes_accessed=2 * n * 3 * J * 4 + n * 16,
+            bytes_accessed=in_bytes + n * 16,
             transcendentals=2 * n * (2 * len(est.kp_freqs) + 2) * J),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
@@ -577,9 +675,14 @@ def _fused_bwd(st, est, res, g):
     )(*args)
     k = 2 + (1 if est.has_codes else 0)
     dp, denc = outs[0], outs[1]
+    if est.fuse_tform:
+        dp, dtf = _tform_pullback(tf, p, dp)
+        dp = dp.astype(p.dtype)
+    else:
+        dtf = jnp.zeros_like(tf)
     dcodes = outs[2] if est.has_codes else jnp.zeros_like(codes)
     dflat = [gr.astype(d) for gr, (_, d) in zip(outs[k:], gshapes)]
-    return (dp, denc, dcodes, jnp.zeros_like(cutoff),
+    return (dp, denc, dtf, dcodes, jnp.zeros_like(cutoff),
             jnp.zeros_like(tau), dflat)
 
 
@@ -596,8 +699,10 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 # ---------------------------------------------------------------------------
 
 def _dual_in_specs(st: MLPStatic, est: EncStatic, J: int):
-    specs = [_tile_spec(st.tile, 3 * J),                  # pts_t
+    specs = [_pts_spec(st, est, J),                       # pts / pts_t
              _block_spec(est.rpt, est.view_nb * 3 * J)]   # enc_ray
+    if est.fuse_tform:
+        specs += [_block_spec(est.rpt, 3 * J)] * 2        # A, B rows
     if est.has_codes:
         specs += [_block_spec(est.rpt, st.vparts[1])] * 2  # codes c/f
     specs += [_const_spec((1, J)), _const_spec((1, 1))]   # cutoff, tau
@@ -605,9 +710,14 @@ def _dual_in_specs(st: MLPStatic, est: EncStatic, J: int):
 
 
 def _fwd_kernel_dual(st: MLPStatic, est: EncStatic, stash: bool, *refs):
-    k = 2 + (2 if est.has_codes else 0)
+    k = 2 + (2 if est.fuse_tform else 0) + (2 if est.has_codes else 0)
     p, enc_blk = refs[0][:], refs[1][:]
-    codes = (refs[2][:], refs[3][:]) if est.has_codes else (None, None)
+    j = 2
+    if est.fuse_tform:
+        p = _apply_tform(est, refs[j][:], refs[j + 1][:], p)
+        j += 2
+    codes = ((refs[j][:], refs[j + 1][:]) if est.has_codes
+             else (None, None))
     cutoff, tau = refs[k][:], refs[k + 1][0, 0]
     n_w = _num_weight_operands(st)
     wrefs_all = (refs[k + 2:k + 2 + n_w],
@@ -635,11 +745,17 @@ def _fwd_kernel_dual(st: MLPStatic, est: EncStatic, stash: bool, *refs):
 
 
 def _bwd_kernel_dual(st: MLPStatic, est: EncStatic, *refs):
-    k = 2 + (2 if est.has_codes else 0)
+    k = 2 + (2 if est.fuse_tform else 0) + (2 if est.has_codes else 0)
     n_w = _num_weight_operands(st)
     n_g = len(_weight_shapes(st))
-    p, enc_blk = refs[0][:], refs[1][:]
-    codes = (refs[2][:], refs[3][:]) if est.has_codes else (None, None)
+    pts_blk, enc_blk = refs[0][:], refs[1][:]
+    j = 2
+    a_blk = b_blk = None
+    if est.fuse_tform:
+        a_blk, b_blk = refs[j][:], refs[j + 1][:]
+        j += 2
+    codes = ((refs[j][:], refs[j + 1][:]) if est.has_codes
+             else (None, None))
     cutoff, tau = refs[k][:], refs[k + 1][0, 0]
     g_refs = (refs[k + 2], refs[k + 3])
     bands_ref = refs[k + 4]
@@ -647,9 +763,13 @@ def _bwd_kernel_dual(st: MLPStatic, est: EncStatic, *refs):
                  refs[k + 5 + n_w:k + 5 + 2 * n_w])
     orefs = refs[k + 5 + 2 * n_w:]
     dp_ref, denc_ref = orefs[0], orefs[1]
-    dcodes_refs = (orefs[2], orefs[3]) if est.has_codes else (None, None)
-    grefs_all = orefs[k:]
+    dcodes_refs = ((orefs[2], orefs[3]) if est.has_codes
+                   else (None, None))
+    grefs_all = orefs[2 + (2 if est.has_codes else 0):]
     grefs = (grefs_all[:n_g], grefs_all[n_g:])
+    # recompute p from (z, A, B); the transform pullback stays in XLA
+    p = (_apply_tform(est, a_blk, b_blk, pts_blk) if est.fuse_tform
+         else pts_blk)
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -705,13 +825,14 @@ def _bwd_kernel_dual(st: MLPStatic, est: EncStatic, *refs):
     denc_ref[:] = denc.astype(denc_ref.dtype)
 
 
-def _fused_dual_call(st, est, p, enc_ray, codes_c, codes_f, cutoff, tau,
-                     flat_c, flat_f, stash: bool):
-    n = p.shape[0]
+def _fused_dual_call(st, est, p, enc_ray, tf, codes_c, codes_f, cutoff,
+                     tau, flat_c, flat_f, stash: bool):
+    # under fuse_tform ``p`` is the per-ray z values (R, S)
+    n = p.shape[0] * (est.S if est.fuse_tform else 1)
     grid = (n // st.tile,)
     J = est.J
     nb = 2 * len(est.kp_freqs) * J
-    args = [p, enc_ray] \
+    args = [p, enc_ray] + ([tf[:, 0], tf[:, 1]] if est.fuse_tform else []) \
         + ([codes_c, codes_f] if est.has_codes else []) \
         + [cutoff, tau] + list(flat_c) + list(flat_f)
     wspecs = [_const_spec(s) for s, _ in _weight_shapes(st)]
@@ -720,6 +841,8 @@ def _fused_dual_call(st, est, p, enc_ray, codes_c, codes_f, cutoff, tau,
     if stash:
         out_specs.append(_tile_spec(st.tile, nb))
         out_shape.append(jax.ShapeDtypeStruct((n, nb), STASH_DTYPE))
+    in_bytes = (enc_ray.shape[0] * (est.S + 2 * 3 * J) * 4
+                if est.fuse_tform else n * 3 * J * 4)
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel_dual, st, est, stash),
         grid=grid,
@@ -728,7 +851,7 @@ def _fused_dual_call(st, est, p, enc_ray, codes_c, codes_f, cutoff, tau,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * _mlp_flops(st, n),
-            bytes_accessed=n * 3 * J * 4 + 2 * n * 16,
+            bytes_accessed=in_bytes + 2 * n * 16,
             transcendentals=n * (2 * len(est.kp_freqs) + 2) * J),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
@@ -738,34 +861,35 @@ def _fused_dual_call(st, est, p, enc_ray, codes_c, codes_f, cutoff, tau,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _fused_dual(st: MLPStatic, est: EncStatic, p, enc_ray,
+def _fused_dual(st: MLPStatic, est: EncStatic, p, enc_ray, tf,
                 codes_c, codes_f, cutoff, tau, flat_c, flat_f):
     # primal-only (eval) path: no bands stash
-    o_c, o_f, _ = _fused_dual_call(st, est, p, enc_ray, codes_c, codes_f,
-                                   cutoff, tau, flat_c, flat_f,
+    o_c, o_f, _ = _fused_dual_call(st, est, p, enc_ray, tf, codes_c,
+                                   codes_f, cutoff, tau, flat_c, flat_f,
                                    stash=False)
     return o_c, o_f
 
 
-def _fused_dual_fwd(st, est, p, enc_ray, codes_c, codes_f, cutoff, tau,
-                    flat_c, flat_f):
-    o_c, o_f, bands = _fused_dual_call(st, est, p, enc_ray, codes_c,
+def _fused_dual_fwd(st, est, p, enc_ray, tf, codes_c, codes_f, cutoff,
+                    tau, flat_c, flat_f):
+    o_c, o_f, bands = _fused_dual_call(st, est, p, enc_ray, tf, codes_c,
                                        codes_f, cutoff, tau, flat_c,
                                        flat_f, stash=True)
-    return (o_c, o_f), (p, enc_ray, codes_c, codes_f, cutoff, tau,
+    return (o_c, o_f), (p, enc_ray, tf, codes_c, codes_f, cutoff, tau,
                         flat_c, flat_f, bands)
 
 
 def _fused_dual_bwd(st, est, res, g):
-    p, enc_ray, codes_c, codes_f, cutoff, tau, flat_c, flat_f, bands = res
+    (p, enc_ray, tf, codes_c, codes_f, cutoff, tau, flat_c, flat_f,
+     bands) = res
     g_c, g_f = g
     st, est = _bwd_statics(st, est)
-    n = p.shape[0]
+    n = p.shape[0] * (est.S if est.fuse_tform else 1)
     grid = (n // st.tile,)
     J = est.J
     nb = 2 * len(est.kp_freqs) * J
     gshapes = _weight_shapes(st)
-    out_shape = [jax.ShapeDtypeStruct(p.shape, p.dtype),
+    out_shape = [jax.ShapeDtypeStruct((n, 3 * J), jnp.float32),
                  jax.ShapeDtypeStruct(enc_ray.shape, enc_ray.dtype)]
     out_specs = [_tile_spec(st.tile, 3 * J),
                  _block_spec(est.rpt, est.view_nb * 3 * J)]
@@ -777,11 +901,13 @@ def _fused_dual_bwd(st, est, res, g):
                   for s, _ in gshapes] * 2
     out_specs += [_const_spec(s) for s, _ in gshapes] * 2
     wspecs = [_const_spec(s) for s, _ in gshapes]
-    args = [p, enc_ray] \
+    args = [p, enc_ray] + ([tf[:, 0], tf[:, 1]] if est.fuse_tform else []) \
         + ([codes_c, codes_f] if est.has_codes else []) \
         + [cutoff, tau, g_c.astype(jnp.float32), g_f.astype(jnp.float32),
            bands] \
         + list(flat_c) + list(flat_f)
+    in_bytes = (2 * enc_ray.shape[0] * (est.S + 2 * 3 * J) * 4
+                if est.fuse_tform else 2 * n * 3 * J * 4)
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel_dual, st, est),
         grid=grid,
@@ -792,7 +918,7 @@ def _fused_dual_bwd(st, est, res, g):
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=6 * _mlp_flops(st, n),
-            bytes_accessed=2 * n * 3 * J * 4 + 2 * n * 16,
+            bytes_accessed=in_bytes + 2 * n * 16,
             transcendentals=2 * n * (2 * len(est.kp_freqs) + 2) * J),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
@@ -800,6 +926,11 @@ def _fused_dual_bwd(st, est, res, g):
     )(*args)
     k = 2 + (2 if est.has_codes else 0)
     dp, denc = outs[0], outs[1]
+    if est.fuse_tform:
+        dp, dtf = _tform_pullback(tf, p, dp)
+        dp = dp.astype(p.dtype)
+    else:
+        dtf = jnp.zeros_like(tf)
     if est.has_codes:
         dcodes_c, dcodes_f = outs[2], outs[3]
     else:
@@ -810,7 +941,7 @@ def _fused_dual_bwd(st, est, res, g):
                for gr, (_, d) in zip(outs[k:k + n_g], gshapes)]
     dflat_f = [gr.astype(d)
                for gr, (_, d) in zip(outs[k + n_g:], gshapes)]
-    return (dp, denc, dcodes_c, dcodes_f, jnp.zeros_like(cutoff),
+    return (dp, denc, dtf, dcodes_c, dcodes_f, jnp.zeros_like(cutoff),
             jnp.zeros_like(tau), dflat_c, dflat_f)
 
 
@@ -925,7 +1056,8 @@ SIN_RECURRENCE = not _os.environ.get('ANERF_NO_SINREC')
 
 
 def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
-                interpret, tile, cm=False, enc_ray=None):
+                interpret, tile, cm=False, enc_ray=None, tf_rows=None,
+                z_vals=None):
     """Shared prep for the fused entries: statics + kernel inputs.
 
     ``cm=True``: ``pts_t`` is already flattened component-major
@@ -934,6 +1066,10 @@ def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
     ``enc_ray``: optionally the precomputed ``view_pe_rows`` (the
     caller can share one build across the coarse and fine-pass kernel
     calls of a step — XLA does not CSE the two otherwise).
+    ``tf_rows`` + ``z_vals``: per-ray affine rows (``tform_rows``)
+    and the (R, S) sample depths — when given, ``pts_t`` is ignored
+    and the rigid transform runs inside the kernel as the per-ray
+    affine ``A + z*B`` (EncStatic.fuse_tform).
 
     Returns None if the (R, S) shape does not tile, else
     (st, est, p, enc_ray, cutoff2d, tau2d).
@@ -941,7 +1077,10 @@ def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
     if tile is None:
         tile = DEFAULT_TILE
     bwd_tile = DEFAULT_BWD_TILE
-    if cm:
+    if tf_rows is not None:
+        R, S = z_vals.shape
+        J = tf_rows.shape[-1] // 3
+    elif cm:
         R, S, K = pts_t.shape
         J = K // 3
     else:
@@ -975,6 +1114,7 @@ def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
                     has_codes=(nerf.use_framecode and cam_idxs is not None),
                     bone_windowed=rc.bone_embed.cutoff,
                     viewfac=getattr(rc, 'viewfac', False),
+                    fuse_tform=tf_rows is not None,
                     ablate_xv=getattr(rc, 'ablate_xv', False))
     if est.viewfac:
         # Per-kernel cost gate: the factorized forward costs
@@ -995,10 +1135,14 @@ def _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau, cam_idxs,
             # run the dense path or the ablation silently no-ops
             est = dataclasses.replace(est, viewfac=False)
 
-    # component-major flatten of pts_t: (R, S, J, 3) -> (n, 3J)
-    if not cm:
-        pts_t = pts_t.transpose(0, 1, 3, 2)
-    p = pts_t.reshape(n, 3 * J).astype(jnp.float32)
+    if tf_rows is not None:
+        # the kernel's point operand is just the per-ray z values
+        p = z_vals.astype(jnp.float32)
+    else:
+        # component-major flatten of pts_t: (R, S, J, 3) -> (n, 3J)
+        if not cm:
+            pts_t = pts_t.transpose(0, 1, 3, 2)
+        p = pts_t.reshape(n, 3 * J).astype(jnp.float32)
     if enc_ray is None:
         enc_ray = view_pe_rows(
             rays_t_norm,
@@ -1018,22 +1162,27 @@ def nerf_encmlp_pallas(net_params: Dict[str, Any], rc,
                        interpret: Optional[bool] = None,
                        tile: Optional[int] = None,
                        cm: bool = False,
-                       enc_ray: Optional[jnp.ndarray] = None
+                       enc_ray: Optional[jnp.ndarray] = None,
+                       tf_rows: Optional[jnp.ndarray] = None,
+                       z_vals: Optional[jnp.ndarray] = None
                        ) -> Optional[jnp.ndarray]:
     """Fused encode+MLP for one network pass.
 
     Args:
       pts_t: (R, S, J, 3) skeleton-relative points (f32), or
-        flattened component-major (R, S, 3J) when ``cm=True``.
+        flattened component-major (R, S, 3J) when ``cm=True``; ignored
+        (may be None) when ``tf_rows``+``z_vals`` are given — the
+        rigid transform then runs inside the kernel from the per-ray
+        affine rows and sample depths.
       rays_t_norm: (R, 3J) normalized per-joint local ray dirs.
       cutoff_dist: (J,) window radii; tau: window sharpness scalar.
       cam_idxs: (R,) framecode indices or None.
     Returns (R, S, 4) raw, or None if the shape doesn't tile.
     """
-    R, S = pts_t.shape[:2]
+    R, S = (z_vals.shape if tf_rows is not None else pts_t.shape[:2])
     built = _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau,
                         cam_idxs, interpret, tile, cm=cm,
-                        enc_ray=enc_ray)
+                        enc_ray=enc_ray, tf_rows=tf_rows, z_vals=z_vals)
     if built is None:
         return None
     st, est, p, enc_ray, cutoff2d, tau2d = built
@@ -1044,7 +1193,9 @@ def nerf_encmlp_pallas(net_params: Dict[str, Any], rc,
         codes = framecode_select(net_params['framecodes'],
                                  cam_idxs).astype(jnp.float32)
     flat = flatten_params_cm(net_params, st, J, est.view_nb)
-    raw = _fused(st, est, p, enc_ray,
+    tf = (tf_rows.astype(jnp.float32) if est.fuse_tform
+          else jnp.zeros((1, 1), jnp.float32))
+    raw = _fused(st, est, p, enc_ray, tf,
                  codes if codes is not None else jnp.zeros((R, 0)),
                  cutoff2d, tau2d, flat)
     # channel-major (4, R, S): [r, g, b, sigma] rows; the (R, S)
@@ -1062,7 +1213,9 @@ def nerf_encmlp_dual_pallas(coarse_params: Dict[str, Any],
                             interpret: Optional[bool] = None,
                             tile: Optional[int] = None,
                             cm: bool = False,
-                            enc_ray: Optional[jnp.ndarray] = None
+                            enc_ray: Optional[jnp.ndarray] = None,
+                            tf_rows: Optional[jnp.ndarray] = None,
+                            z_vals: Optional[jnp.ndarray] = None
                             ) -> Optional[Tuple[jnp.ndarray, jnp.ndarray]]:
     """Fused encode + BOTH MLPs on the same points (one kernel call).
 
@@ -1074,10 +1227,10 @@ def nerf_encmlp_dual_pallas(coarse_params: Dict[str, Any],
     Returns (raw_coarse, raw_fine), each (R, S, 4), or None if the
     shape doesn't tile.
     """
-    R, S = pts_t.shape[:2]
+    R, S = (z_vals.shape if tf_rows is not None else pts_t.shape[:2])
     built = _build_call(rc, pts_t, rays_t_norm, cutoff_dist, tau,
                         cam_idxs, interpret, tile, cm=cm,
-                        enc_ray=enc_ray)
+                        enc_ray=enc_ray, tf_rows=tf_rows, z_vals=z_vals)
     if built is None:
         return None
     st, est, p, enc_ray, cutoff2d, tau2d = built
@@ -1092,6 +1245,8 @@ def nerf_encmlp_dual_pallas(coarse_params: Dict[str, Any],
         codes_c = codes_f = jnp.zeros((R, 0))
     flat_c = flatten_params_cm(coarse_params, st, J, est.view_nb)
     flat_f = flatten_params_cm(fine_params, st, J, est.view_nb)
-    raw_c, raw_f = _fused_dual(st, est, p, enc_ray, codes_c, codes_f,
+    tf = (tf_rows.astype(jnp.float32) if est.fuse_tform
+          else jnp.zeros((1, 1), jnp.float32))
+    raw_c, raw_f = _fused_dual(st, est, p, enc_ray, tf, codes_c, codes_f,
                                cutoff2d, tau2d, flat_c, flat_f)
     return raw_c.reshape(4, R, S), raw_f.reshape(4, R, S)

@@ -178,6 +178,18 @@ class Config:
     # pallas_encmlp._build_call falls back to the dense form for
     # shapes where the factorization loses (fine-16 pass, eval tiles).
     viewfac: bool = True
+    # in-kernel rigid transform: the fused Pallas kernels take per-ray
+    # affine rows A + z*B (ops/pallas_encmlp.tform_rows) and apply the
+    # skeleton-relative transform in VMEM, so the (n, 3J) pts_t tensor
+    # (37 MB/step) never exists in HBM.  MEASURED REJECTION on v5e
+    # (round 5, three kernel formulations — BASELINE.md): train drops
+    # 125.5 -> 118-120k rays/s (the XLA transform was already fused
+    # into cheap MXU convs that overlap the kernels; the in-kernel
+    # serial body grows instead), eval statistically tied (+0.5-1%,
+    # inside the window band).  OFF by default; parity is proven
+    # (tests/test_pallas_encmlp.py::test_fuse_tform_matches_default)
+    # so other TPU generations can revisit the trade.
+    fuse_tform: bool = False
     data_axis: str = 'data'          # mesh axis name for ray sharding
     n_devices: Optional[int] = None  # None = all visible devices
     # bundle k train steps into one compiled program (lax.scan): on

@@ -67,6 +67,9 @@ def main():
                     help='per-ray view factorization in the fused '
                          'kernels (correct math; default: the Config '
                          'default, ON since round 5)')
+    ap.add_argument('--fuse_tform', choices=['on', 'off'], default=None,
+                    help='in-kernel rigid transform (correct math; '
+                         'default: the Config default)')
     # WRONG-MATH perf-upper-bound ablations (formerly ANERF_ABLATE_*
     # env vars); loud warning below so a stray flag cannot silently
     # corrupt a headline number
@@ -76,6 +79,8 @@ def main():
     rc_overrides = {}
     if args.viewfac is not None:
         rc_overrides['viewfac'] = (args.viewfac == 'on')
+    if args.fuse_tform is not None:
+        rc_overrides['fuse_tform'] = (args.fuse_tform == 'on')
     for name in ('ablate_merge', 'ablate_xv'):
         if getattr(args, name):
             import warnings

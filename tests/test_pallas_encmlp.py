@@ -72,6 +72,60 @@ def test_viewfac_matches_default_forward():
             k, np.max(np.abs(ref - got)), scale)
 
 
+def test_fuse_tform_matches_default():
+    """rc.fuse_tform (in-kernel rigid transform via the per-ray affine
+    p = A + z*B) must reproduce the default fused path: the same math,
+    merely reassociated — W(o + z d) + t vs W p + t — so forward and
+    gradients agree to f32 reassociation noise.
+
+    The flag is an OPT-IN measured rejection on v5e (BASELINE.md round
+    5: train 118-120k vs 125.5k rays/s across three kernel
+    formulations; eval statistically tied at +0.5-1%), kept because
+    the parity is proven and other TPU generations may price the
+    VPU/DMA trade differently.
+    """
+    rc, params, batch, est, pose = build()
+    a = render(rc, params, batch, est, pose, 'pallas')
+    b = render(rc, params, batch, est, pose, 'pallas', fuse_tform=True)
+    for k in ('rgb_map', 'acc_map', 'rgb0', 'acc0', 'disp_map'):
+        ref, got = np.asarray(a[k]), np.asarray(b[k])
+        scale = np.abs(ref).max() + 1e-6
+        assert np.max(np.abs(ref - got)) < 1e-4 * scale, (
+            k, np.max(np.abs(ref - got)), scale)
+
+    def gradset(**over):
+        l = _grad_fn(dataclasses.replace(rc, **over), params, batch,
+                     est, pose)
+        return jax.grad(l, argnums=(1, 2))('pallas', params,
+                                           pose['skts'])
+
+    la, _ = jax.tree_util.tree_flatten(gradset())
+    lb, _ = jax.tree_util.tree_flatten(gradset(fuse_tform=True))
+    for a, b in zip(la, lb):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        na = np.linalg.norm(a)
+        if na < 1e-12:
+            continue
+        cos = a @ b / (na * np.linalg.norm(b) + 1e-30)
+        assert cos > 0.9999, cos
+        assert abs(np.linalg.norm(b) / na - 1) < 5e-3
+
+
+def test_fuse_tform_ray_noise_gate():
+    """ray_noise is a per-POINT 3D jitter, so points leave the ray and
+    the z-affine identity breaks — the raycaster must fall back to the
+    materialized-transform path (exact equality with fuse_tform off,
+    same rng)."""
+    rc, params, batch, est, pose = build()
+    a = render(rc, params, batch, est, pose, 'pallas',
+               ray_noise_std=0.01)
+    b = render(rc, params, batch, est, pose, 'pallas',
+               ray_noise_std=0.01, fuse_tform=True)
+    for k in ('rgb_map', 'acc_map', 'rgb0'):
+        assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
+
+
 def test_viewfac_cost_gate():
     """The per-kernel cost gate engages the factorization exactly where
     it wins (J*(nblkJ+tile) < 0.9*S*nblkJ): coarse S=64/tile-512 yes;
