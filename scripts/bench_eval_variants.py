@@ -43,9 +43,16 @@ def main():
     # here, not assumed
     variants += [('pallas_t512_viewfac', 512, True),
                  ('pallas_t1024_viewfac', 1024, True)]
+    # in-kernel rigid transform (fuse_tform): full-step benches measured
+    # eval 386-388k vs 383-385k default across three runs — inside the
+    # window band; this focused sweep settles whether the fwd-only win
+    # is real (repeat each variant via N_REPS for a band, default 3)
+    variants += [('pallas_t1024_fusetf', 1024, 'fuse'),
+                 ('pallas_t2048_fusetf', 2048, 'fuse')]
 
+    n_reps = int(os.environ.get('N_REPS', 1))
     results = {}
-    for name, tile, viewfac in variants:
+    for name, tile, mode in variants:
         rc = setup.rc.eval_variant()
         if tile is None:
             # force the XLA path: build_flagship's 'auto' resolves to
@@ -57,7 +64,9 @@ def main():
             # PE.DEFAULT_TILE — the old module-global override was
             # silently dead), so replace the field itself
             rc = dataclasses.replace(rc, mlp_backend='pallas',
-                                     pallas_tile=tile, viewfac=viewfac)
+                                     pallas_tile=tile,
+                                     viewfac=(mode is True),
+                                     fuse_tform=(mode == 'fuse'))
 
         def chunk_fn(params, rays_o, rays_d, pose, cam_idxs, rc=rc):
             out = render_rays(rc, params, rays_o, rays_d, 0.0, 1.0,
@@ -73,16 +82,20 @@ def main():
             results[name] = f'FAIL {type(e).__name__}'
             continue
         n_it = 50
-        t0 = time.perf_counter()
-        acc = None
-        for _ in range(n_it):
-            rgb, _, _ = fn(params, batch['rays_o'], batch['rays_d'], pose,
-                           batch['cam_idxs'])
-            acc = rgb if acc is None else acc + rgb
-        _ = float(jnp.sum(acc))
-        dt = time.perf_counter() - t0
-        results[name] = round(n_rays * n_it / dt, 1)
-        print(f'{name}: {results[name]} rays/s', flush=True)
+        windows = []
+        for _rep in range(n_reps):
+            t0 = time.perf_counter()
+            acc = None
+            for _ in range(n_it):
+                rgb, _, _ = fn(params, batch['rays_o'], batch['rays_d'],
+                               pose, batch['cam_idxs'])
+                acc = rgb if acc is None else acc + rgb
+            _ = float(jnp.sum(acc))
+            dt = time.perf_counter() - t0
+            windows.append(round(n_rays * n_it / dt, 1))
+        results[name] = max(windows) if n_reps > 1 else windows[0]
+        print(f'{name}: {results[name]} rays/s'
+              + (f' windows={windows}' if n_reps > 1 else ''), flush=True)
 
     print(json.dumps(results))
 
