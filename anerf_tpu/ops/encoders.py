@@ -31,6 +31,25 @@ def transform_batch_pts(pts: jnp.ndarray, skts: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def cm_transform_rows(skts: jnp.ndarray
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-ray world->local transforms as COMPONENT-major row
+    matrices: ``(rcat (R, 3J, 3), tcat (R, 3J))`` with row c*J+j =
+    component c of joint j (the ops/pallas_encmlp.py lane layout), so
+    ``p_cm = pts @ rcat^T + tcat``.
+
+    Single source of the layout-sensitive row ordering — consumed by
+    :func:`transform_batch_pts_cm` AND the fused kernels' affine-row
+    build (pallas_encmlp.tform_rows); keeping one builder means the
+    two paths cannot silently disagree on the lane order.
+    """
+    R, J = skts.shape[0], skts.shape[1]
+    rot = skts[..., :3, :3]
+    rcat = rot.transpose(0, 2, 1, 3).reshape(R, 3 * J, 3)
+    tcat = skts[..., :3, 3].transpose(0, 2, 1).reshape(R, 3 * J)
+    return rcat, tcat
+
+
 def transform_batch_pts_cm(pts: jnp.ndarray, skts: jnp.ndarray
                            ) -> jnp.ndarray:
     """:func:`transform_batch_pts` emitted directly as the fused
@@ -44,12 +63,8 @@ def transform_batch_pts_cm(pts: jnp.ndarray, skts: jnp.ndarray
     XLA layout copies on the 37 MB pts_t tensor at the flagship recipe.
     Same math as the reference transform (encoders.py:8-23).
     """
-    R, J = skts.shape[0], skts.shape[1]
-    rot = skts[..., :3, :3]
-    # rows ordered (c, j) component-major: (R, 3J, 3)
-    rcat = rot.transpose(0, 2, 1, 3).reshape(R, 3 * J, 3)
-    tcat = skts[..., :3, 3].transpose(0, 2, 1).reshape(R, 1, 3 * J)
-    return jnp.einsum('rsd,rkd->rsk', pts, rcat) + tcat
+    rcat, tcat = cm_transform_rows(skts)
+    return jnp.einsum('rsd,rkd->rsk', pts, rcat) + tcat[:, None]
 
 
 def transform_batch_rays(rays_d: jnp.ndarray, skts: jnp.ndarray) -> jnp.ndarray:

@@ -96,11 +96,8 @@ def tform_rows(skts: jnp.ndarray, rays_o: jnp.ndarray,
     core/encoders.py:8-23) composed with the ray equation
     (reference ray_utils.py sample points).
     """
-    R, J = skts.shape[0], skts.shape[1]
-    rot = skts[..., :3, :3]
-    # rows ordered (c, j) component-major: (R, 3J, 3)
-    rcat = rot.transpose(0, 2, 1, 3).reshape(R, 3 * J, 3)
-    tcat = skts[..., :3, 3].transpose(0, 2, 1).reshape(R, 3 * J)
+    from .encoders import cm_transform_rows
+    rcat, tcat = cm_transform_rows(skts)
     o = rays_o.astype(jnp.float32)
     d = rays_d.astype(jnp.float32)
     A = jnp.einsum('rcd,rd->rc', rcat, o) + tcat

@@ -41,8 +41,13 @@ def main():
     # tile 1024 (0.97x) but tile 512 factorizes at 0.67x views MACs —
     # whether that beats the bigger tile's DMA efficiency is measured
     # here, not assumed
-    variants += [('pallas_t512_viewfac', 512, True),
-                 ('pallas_t1024_viewfac', 1024, True)]
+    # viewfac only at tile 512: the per-kernel cost gate in
+    # PE._build_call disables the factorization at tile 1024
+    # (J*(nblkJ+1024) >= 0.9*S*nblkJ at the flagship shape), so a
+    # 't1024_viewfac' row would measure a configuration identical to
+    # plain t1024 and read as a viewfac effect that is pure noise
+    # (round-5 code-review finding; confirmed: 387.5 vs 386.4, +-1%)
+    variants += [('pallas_t512_viewfac', 512, True)]
     # in-kernel rigid transform (fuse_tform): full-step benches measured
     # eval 386-388k vs 383-385k default across three runs — inside the
     # window band; this focused sweep settles whether the fwd-only win

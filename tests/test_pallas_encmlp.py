@@ -56,12 +56,21 @@ def test_fused_matches_xla_forward():
 
 def test_viewfac_matches_default_forward():
     """rc.viewfac=True (per-ray view factorization) must reproduce the
-    default fused forward at bf16-level tolerance: the factorized form
+    DENSE fused forward at bf16-level tolerance: the factorized form
     is algebraically identical but never materializes the bf16-rounded
-    xv, so the two chains differ only in quantization points."""
+    xv, so the two chains differ only in quantization points.
+
+    The dense baseline must be forced explicitly: Config.viewfac
+    defaults to True since round 5, so a bare render already runs the
+    factorized path and the comparison would be vacuous (caught by the
+    round-5 code review — the measured dense-vs-factorized deviation
+    is ~1.2e-4, well inside the bars below)."""
     rc, params, batch, est, pose = build()
-    a = render(rc, params, batch, est, pose, 'pallas')
+    a = render(rc, params, batch, est, pose, 'pallas', viewfac=False)
     b = render(rc, params, batch, est, pose, 'pallas', viewfac=True)
+    assert any(not np.array_equal(np.asarray(a[k]), np.asarray(b[k]))
+               for k in ('rgb_map', 'rgb0')), \
+        'viewfac did not engage — comparison is vacuous'
     for k in ('rgb_map', 'acc_map', 'rgb0', 'acc0', 'disp_map'):
         ref, got = np.asarray(a[k]), np.asarray(b[k])
         scale = np.abs(ref).max() + 1e-6
