@@ -133,3 +133,33 @@ def test_transform_batch_pts_cm_matches_joint_major():
     # different einsum contraction order: f32 accumulation noise only
     np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_a),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_tform_rows_affine_identity():
+    """The fused kernels' per-ray affine rows (pallas_encmlp.tform_rows:
+    A = W@o + t, B = W@d) must reproduce the materialized component-
+    major transform for points ON the ray: A + z*B == cm(o + z*d).
+    Unit-level companion of the render-level fuse_tform parity test —
+    both builders share encoders.cm_transform_rows so the lane order
+    cannot silently diverge."""
+    from anerf_tpu.ops.encoders import transform_batch_pts_cm
+    from anerf_tpu.ops.pallas_encmlp import tform_rows
+    rng = np.random.RandomState(1)
+    R, S = 5, 7
+    o = jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32))
+    z = jnp.asarray(rng.uniform(0.5, 2.0, size=(R, S))
+                    .astype(np.float32))
+    bones = jnp.asarray(rng.normal(scale=0.2, size=(R, 24, 3))
+                        .astype(np.float32))
+    pelvis = jnp.asarray(rng.normal(scale=0.02, size=(R, 3))
+                         .astype(np.float32))
+    _, skts, _, _ = fk(bones, pelvis,
+                       jnp.asarray(SMPL_REST_POSE.astype(np.float32)))
+    ab = tform_rows(skts, o, d)                      # (R, 2, 72)
+    assert ab.shape == (R, 2, 72)
+    p_affine = ab[:, None, 0] + z[:, :, None] * ab[:, None, 1]
+    pts = o[:, None] + d[:, None] * z[..., None]     # (R, S, 3)
+    p_cm = transform_batch_pts_cm(pts, skts)
+    np.testing.assert_allclose(np.asarray(p_affine), np.asarray(p_cm),
+                               rtol=2e-5, atol=2e-5)
